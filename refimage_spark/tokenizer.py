@@ -1,0 +1,49 @@
+"""The pinned tokenizer spec — ONE definition, three renderings.
+
+Spec (golden-tested, see tests/test_tokenizer.py):
+    lowercase -> split on runs of [^a-z0-9] -> drop empty tokens
+
+The reference's analogue is CLIP's internal BPE tokenizer
+(/root/reference/src/refimage/models/clip_model.py:164) plus the DSL's
+``.strip().lower()`` normalization (/root/reference/src/refimage/dsl.py:117,144).
+We pin a simple deterministic lexical tokenizer instead (SURVEY.md §2.7 F10);
+rank-identity for BM25 is defined against THIS spec.
+
+Three renderings that must stay in lockstep (cross-checked by tests):
+- ``spark_tokens(col)``     : native Column expression (JVM, codegen — used
+                              in all DataFrame plans; zero Python cost)
+- ``py_tokens(text)``       : plain Python (query compiler, index kernels)
+- ``duckdb_tokens_sql(e)``  : DuckDB SQL fragment (correctness oracles)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+_PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
+
+# BM25 constants, pinned (SURVEY.md §2.3 K6; FIXTURES.md §2)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def spark_tokens(col: Column | str) -> Column:
+    """array<string> of tokens — pure built-in functions, stays in codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
+
+
+def py_tokens(text: str) -> list[str]:
+    return [t for t in _PY_SPLIT.split(text.lower()) if t]
+
+
+def duckdb_tokens_sql(expr: str) -> str:
+    """DuckDB fragment producing the same token list as ``spark_tokens``."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '[^a-z0-9]+'),"
+        " t -> t <> '')"
+    )

@@ -1,38 +1,404 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+plus the training-data pipeline ops; ``oracle_sql()`` gives the DuckDB
+equivalent (same column names, floats rounded identically on both sides).
+Entries without an oracle (approximate/hash-seeded ops) get the driver's
+rows-only check: ann_lsh_topk, multimodal_features.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from refimage_spark.operators import dedup as D
+from refimage_spark.operators import metadata as M
+from refimage_spark.operators import multimodal as MM
+from refimage_spark.operators import similarity as SIM
+from refimage_spark.operators import textstats as TS
+from refimage_spark.operators.bm25 import Corpus, bm25_topk, corpus_stats, term_df
+from refimage_spark.plans.compiler import search
+from refimage_spark.tokenizer import duckdb_tokens_sql
+
+# ----------------------------------------------------------------- helpers --
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    return Corpus.from_documents(_docs(spark, sf_dir))
+
+
+def _r4(df: DataFrame, col: str = "score") -> DataFrame:
+    return df.withColumn(col, F.round(F.col(col), 4))
+
+
+# shared oracle CTE prefix: tokenized docs + corpus stats
+_PREFIX = f"""WITH tokd AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokd),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tokd)"""
+
+
+def _clause_sql(terms: list[str], weight: float = 1.0, threshold: float = 0.0) -> str:
+    """One BM25 text clause -> (doc_id, score) subquery (DuckDB)."""
+    tl = ",".join(f"'{t}'" for t in terms)
+    thr = f" HAVING sum(s.part) >= {threshold}" if threshold > 0 else ""
+    return f"""SELECT s.doc_id, sum(s.part) AS score FROM (
+      SELECT tf.doc_id,
+        {weight} * ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+          * tf.tf * (1.2 + 1.0)
+          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS part
+      FROM (SELECT doc_id, term, count(*) AS tf FROM terms
+            WHERE term IN ({tl}) GROUP BY 1, 2) tf
+      JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM terms
+            WHERE term IN ({tl}) GROUP BY 1) dfs USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+    ) s GROUP BY s.doc_id{thr}"""
+
+
+def _topk_sql(body: str, k: int = 10) -> str:
+    return (
+        f"{_PREFIX} SELECT doc_id, round(score, 4) AS score FROM ({body}) "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+_SHINGLE_SQL = """sh AS (
+  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+    for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS shingles FROM tokd)"""
+
+
+def _md5i60(e: str) -> str:
+    return D.md5int60_sql(e)
+
+
+# ----------------------------------------------------------------- entry  --
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: DSL search (weighted OR) + metadata hydrate on sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf)
+    corpus = Corpus.from_documents(docs)
+    top = _r4(search(corpus, "spark join OR window agg^0.8", limit=10))
+    return M.hydrate(top, docs, keep=["lang", "source", "n_chars"])
+
+
+# ----------------------------------------------------------------- queries --
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- retrieval core (SURVEY §2.3/§2.5: K1, W1-W6) ---
+    q["bm25_topk"] = lambda s, d: _r4(bm25_topk(_corpus(s, d), "spark join window", k=10))
+    q["bm25_weighted_threshold"] = lambda s, d: _r4(
+        search(_corpus(s, d), "vector stream^0.5", limit=10, threshold=0.3)
+    )
+    # --- DSL algebra (SURVEY §2.4: B1-B4) ---
+    q["dsl_and"] = lambda s, d: _r4(search(_corpus(s, d), "spark AND join", limit=10))
+    q["dsl_or_weighted"] = lambda s, d: _r4(
+        search(_corpus(s, d), "merge sort^0.8 OR hash join^0.6", limit=10)
+    )
+    q["dsl_not"] = lambda s, d: _r4(search(_corpus(s, d), "table scan NOT slow", limit=10))
+    q["dsl_tag_any"] = lambda s, d: search(_corpus(s, d), "#en #fr", limit=1000)
+    q["dsl_text_tag"] = lambda s, d: _r4(search(_corpus(s, d), "fast query #en", limit=10))
+    q["dsl_functional_exclude"] = lambda s, d: _r4(
+        search(_corpus(s, d), 'EXCLUDE(TEXT("stream window"), TEXT("batch"))', limit=10)
+    )
+    # --- metadata table ops (SURVEY §2.1/§2.2: S2, S3, P1-P5, W4, W5) ---
+    q["point_lookup"] = lambda s, d: M.point_lookup(_docs(s, d), 42)
+    q["metadata_page"] = lambda s, d: M.list_documents(
+        _docs(s, d), limit=20, offset=10, sort_by="n_chars", sort_order="desc"
+    )
+    q["metadata_tag_filter"] = lambda s, d: M.list_documents(
+        _docs(s, d), limit=50, tags_filter=["en", "src3"], sort_by="doc_id"
+    )
+    q["hydrate_topk"] = lambda s, d: M.hydrate(
+        _r4(bm25_topk(_corpus(s, d), "spark join window", k=10)),
+        _docs(s, d),
+        keep=["lang", "source", "n_chars"],
+    )
+    # --- aggregations / stats (SURVEY §2.6: A1-A4) ---
+    q["stats_rollup"] = lambda s, d: M.stats_rollup(_docs(s, d)).select(
+        "n_docs",
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "n_langs",
+        "n_sources",
+        F.round("avg_chars", 6).alias("avg_chars"),
+    )
+    q["corpus_stats"] = lambda s, d: corpus_stats(_corpus(s, d)).select(
+        "n_docs", F.round("avgdl", 6).alias("avgdl")
+    )
+    q["term_df"] = lambda s, d: term_df(
+        _corpus(s, d), ["spark", "join", "window", "vector"]
+    )
+    # --- text analysis (training-data ops) ---
+    q["token_counts"] = lambda s, d: TS.token_counts(_docs(s, d)).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_uniq").cast("long").alias("n_uniq"),
+    )
+    q["doc_fingerprint"] = lambda s, d: TS.doc_fingerprint(_docs(s, d))
+    q["lang_id"] = lambda s, d: TS.lang_id(_docs(s, d))
+    q["quality_score"] = lambda s, d: TS.quality_score(_docs(s, d))
+    # --- dedup family (SURVEY §2.1 S10 + training-data ops) ---
+    q["dedup_exact"] = lambda s, d: D.exact_dedup(_docs(s, d))
+    q["dedup_minhash"] = lambda s, d: D.minhash_neardup_pairs(_docs(s, d), threshold=0.4)
+    q["dedup_ngram_jaccard"] = lambda s, d: D.ngram_jaccard_pairs(
+        _docs(s, d), threshold=0.4
+    )
+    q["dedup_simhash"] = lambda s, d: D.simhash_neardup_pairs(
+        _docs(s, d), max_hamming=3
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    q["embedding_neardup"] = lambda s, d: D.embedding_neardup_pairs(
+        _emb(s, d), threshold=0.9, block_col="label"
+    )
+    # --- similarity search ---
+    def _cos_topk(s: SparkSession, d: str) -> DataFrame:
+        emb = _emb(s, d)
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+        return SIM.cosine_topk(emb, [float(x) for x in qv], k=10).select(
+            "vec_id", F.round("cos", 4).alias("cos")
+        )
+
+    q["embedding_cosine_topk"] = _cos_topk
+
+    def _ann(s: SparkSession, d: str) -> DataFrame:
+        emb = _emb(s, d)
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+        return SIM.lsh_topk(emb, [float(x) for x in qv], dim=len(qv), k=10).select(
+            "vec_id", F.round("cos", 4).alias("cos")
+        )
+
+    q["ann_lsh_topk"] = _ann  # approximate: rows-only check
+
+    def _ann_ivf(s: SparkSession, d: str) -> DataFrame:
+        emb = _emb(s, d)
+        qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+        return SIM.ivf_topk(emb, [float(x) for x in qv], k=10).select(
+            "vec_id", F.round("cos", 4).alias("cos")
+        )
+
+    q["ann_ivf_topk"] = _ann_ivf  # approximate: rows-only check
+    # --- multimodal plumbing (binary column -> Arrow feature extraction) ---
+    q["multimodal_features"] = lambda s, d: MM.extract_features(
+        _docs(s, d).select("doc_id", F.encode("text", "utf-8").alias("raw")), "raw"
+    )  # hash-seeded fake decode: rows-only check
+    # --- events: tumbling-window aggregation (streaming-shaped, batch) ---
+    q["events_windowed_agg"] = lambda s, d: (
+        _events(s, d)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return q
+
+
+# ----------------------------------------------------------------- oracles --
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["bm25_topk"] = _topk_sql(_clause_sql(["spark", "join", "window"]))
+    o["bm25_weighted_threshold"] = _topk_sql(
+        _clause_sql(["vector", "stream"], weight=0.5, threshold=0.3)
+    )
+    c_spark = _clause_sql(["spark"])
+    c_join = _clause_sql(["join"])
+    o["dsl_and"] = _topk_sql(
+        f"SELECT a.doc_id, a.score + b.score AS score FROM ({c_spark}) a "
+        f"JOIN ({c_join}) b USING (doc_id)"
+    )
+    o["dsl_or_weighted"] = _topk_sql(
+        "SELECT doc_id, sum(score) AS score FROM "
+        f"(({_clause_sql(['merge', 'sort'], 0.8)}) UNION ALL "
+        f"({_clause_sql(['hash', 'join'], 0.6)})) u GROUP BY doc_id"
+    )
+    o["dsl_not"] = _topk_sql(
+        f"SELECT * FROM ({_clause_sql(['table', 'scan'])}) a WHERE a.doc_id NOT IN "
+        f"(SELECT doc_id FROM ({_clause_sql(['slow'])}) b)"
+    )
+    o["dsl_tag_any"] = (
+        "SELECT doc_id, cast(0.0 AS double) AS score FROM documents "
+        "WHERE lower(lang) IN ('en','fr') OR lower(source) IN ('en','fr')"
+    )
+    o["dsl_text_tag"] = _topk_sql(
+        f"SELECT a.doc_id, a.score FROM ({_clause_sql(['fast', 'query'])}) a "
+        "JOIN documents dd ON a.doc_id = dd.doc_id "
+        "WHERE lower(dd.lang) = 'en' OR lower(dd.source) = 'en'"
+    )
+    o["dsl_functional_exclude"] = _topk_sql(
+        f"SELECT * FROM ({_clause_sql(['stream', 'window'])}) a WHERE a.doc_id NOT IN "
+        f"(SELECT doc_id FROM ({_clause_sql(['batch'])}) b)"
+    )
+    o["point_lookup"] = "SELECT * FROM documents WHERE doc_id = 42"
+    o["metadata_page"] = (
+        "SELECT * FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20 OFFSET 10"
+    )
+    o["metadata_tag_filter"] = (
+        "SELECT * FROM documents WHERE lower(lang) IN ('en','src3') "
+        "OR lower(source) IN ('en','src3') ORDER BY doc_id ASC LIMIT 50"
+    )
+    o["hydrate_topk"] = (
+        f"{_PREFIX}, tk AS (SELECT doc_id, round(score,4) AS score FROM "
+        f"({_clause_sql(['spark', 'join', 'window'])}) z "
+        "ORDER BY score DESC, doc_id ASC LIMIT 10) "
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars, tk.score "
+        "FROM documents d JOIN tk ON d.doc_id = tk.doc_id"
+    )
+    o["stats_rollup"] = (
+        "SELECT cast(count(*) AS bigint) AS n_docs, "
+        "cast(sum(n_chars) AS bigint) AS total_chars, "
+        "cast(count(DISTINCT lang) AS bigint) AS n_langs, "
+        "cast(count(DISTINCT source) AS bigint) AS n_sources, "
+        "round(avg(n_chars), 6) AS avg_chars FROM documents"
+    )
+    o["corpus_stats"] = (
+        f"{_PREFIX} SELECT cast(n AS bigint) AS n_docs, round(avgdl, 6) AS avgdl "
+        "FROM stats"
+    )
+    o["term_df"] = (
+        f"{_PREFIX} SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df "
+        "FROM terms WHERE term IN ('spark','join','window','vector') GROUP BY term"
+    )
+    o["token_counts"] = (
+        f"{_PREFIX} SELECT doc_id, cast(len(toks) AS bigint) AS n_tokens, "
+        "cast(len(list_distinct(toks)) AS bigint) AS n_uniq FROM tokd"
+    )
+    o["doc_fingerprint"] = (
+        f"{_PREFIX} SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint "
+        "FROM tokd"
+    )
+    # lang_id: ratios per pinned stopword sets, argmax with priority tiebreak
+    ratios = {
+        lg: (
+            f"(len(list_filter(toks, t -> list_contains("
+            f"[{','.join(repr(w) for w in ws)}], t))) "
+            f"/ greatest(len(toks), 1))"
+        )
+        for lg, ws in TS.STOPWORDS.items()
+    }
+    best = f"greatest({ratios['en']}, {ratios['de']}, {ratios['fr']}, {ratios['es']})"
+    case = " ".join(
+        f"WHEN {ratios[lg]} = best AND best >= {TS.MIN_LANG_RATIO} THEN '{lg}'"
+        for lg in TS.LANG_PRIORITY
+    )
+    o["lang_id"] = (
+        f"{_PREFIX} SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang, "
+        f"round(best, 6) AS pred_ratio FROM "
+        f"(SELECT doc_id, toks, {best} AS best FROM tokd) z"
+    )
+    en = ",".join(repr(w) for w in TS.STOPWORDS["en"])
+    o["quality_score"] = f"""{_PREFIX} SELECT doc_id, round(
+        0.3 * least(len(toks) / 200.0, 1.0)
+      + 0.3 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+      + 0.2 * (len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+$')))
+               / greatest(len(toks), 1))
+      + 0.2 * least((len(list_filter(toks, t -> list_contains([{en}], t)))
+               / greatest(len(toks), 1)) * 10.0, 1.0), 6) AS quality FROM tokd"""
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS digest, min(doc_id) AS doc_id, "
+        "cast(count(*) AS bigint) AS n_copies FROM documents GROUP BY md5(text)"
+    )
+    # minhash: 16 hashes, 4 bands of 4 — identical md5-derived hash family
+    o["dedup_minhash"] = f"""{_PREFIX}, {_SHINGLE_SQL},
+    sig AS (SELECT doc_id, shingles,
+      [list_min([{_md5i60("s || '#' || j")} for s in shingles]) for j in range(0, 16)] AS sig
+      FROM sh WHERE len(shingles) > 0),
+    bands AS (SELECT doc_id, unnest(range(0, 4)) AS band,
+      unnest([md5(array_to_string(sig[b*4+1:b*4+4], '-')) for b in range(0, 4)]) AS bkey
+      FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+      round(len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+    JOIN sh sb ON cand.doc_b = sb.doc_id
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.4"""
+    o["dedup_ngram_jaccard"] = f"""{_PREFIX}, {_SHINGLE_SQL}
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+      round(len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+        / (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 6) >= 0.4"""
+    bit_sums = ", ".join(
+        f"sum(tf * (((h >> {j}) & 1) * 2 - 1)) AS b{j}" for j in range(D.SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN cast({2**j} AS bigint) ELSE cast(0 AS bigint) END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    o["dedup_simhash"] = f"""{_PREFIX},
+    tf AS (SELECT doc_id, term, count(*) AS tf, {_md5i60('term')} AS h
+           FROM terms GROUP BY doc_id, term),
+    bits AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp_expr} AS fp FROM bits),
+    blk AS (SELECT doc_id, fp, unnest(range(0, 4)) AS b,
+            unnest([(fp >> (q * 15)) & 32767 for q in range(0, 4)]) AS bval FROM fp)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      cast(bit_count(xor(a.fp, b.fp)) AS int) AS hamming
+    FROM blk a JOIN blk b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    o["embedding_neardup"] = """WITH e AS (
+      SELECT vec_id, label, [cast(x AS double) for x in embedding] AS emb
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      round(list_sum([a.emb[i] * b.emb[i] for i in range(1, len(a.emb) + 1)])
+        / (sqrt(list_sum([x * x for x in a.emb]))
+           * sqrt(list_sum([x * x for x in b.emb]))), 6) AS cos
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_sum([a.emb[i] * b.emb[i] for i in range(1, len(a.emb) + 1)])
+        / (sqrt(list_sum([x * x for x in a.emb]))
+           * sqrt(list_sum([x * x for x in b.emb]))), 6) >= 0.9"""
+    o["embedding_cosine_topk"] = """WITH q AS (
+      SELECT [cast(x AS double) for x in embedding] AS qe
+      FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, [cast(x AS double) for x in embedding] AS emb
+          FROM embeddings),
+    s AS (SELECT vec_id,
+      round(list_sum([emb[i] * q.qe[i] for i in range(1, len(emb) + 1)])
+        / (sqrt(list_sum([x * x for x in emb]))
+           * sqrt(list_sum([x * x for x in q.qe]))), 6) AS cos6
+      FROM e CROSS JOIN q)
+    SELECT vec_id, round(cos6, 4) AS cos FROM s
+    ORDER BY cos6 DESC, vec_id ASC LIMIT 10"""
+    o["events_windowed_agg"] = (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "cast(count(*) AS bigint) AS n_events, "
+        "round(sum(value), 4) AS total_value FROM events GROUP BY 1, 2"
+    )
+    return o

@@ -1,0 +1,103 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- index_build        : pages-corpus inverted-index build (docs/sec path)
+- bm25 query set     : the FIXTURES.md §3 reference query shapes
+- dedup / ann / text : training-data pipeline headliners
+
+Output: {"metric": "e2e_sec", "value": N, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from refimage_spark.operators import dedup as D
+from refimage_spark.operators import similarity as SIM
+from refimage_spark.operators import textstats as TS
+from refimage_spark.operators.bm25 import Corpus, bm25_topk
+from refimage_spark.plans.compiler import search
+from refimage_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+QUERY_SET = [
+    ("q_text", lambda c: bm25_topk(c, "spark join window", k=10)),
+    ("q_or", lambda c: search(c, "merge sort^0.8 OR hash join^0.6", limit=10)),
+    ("q_and", lambda c: search(c, "spark AND join", limit=10)),
+    ("q_not", lambda c: search(c, "table scan NOT slow", limit=10)),
+    ("q_tag", lambda c: search(c, "fast query #en", limit=10)),
+    ("q_head_term", lambda c: bm25_topk(c, "batch", k=10)),  # head-term skew
+    ("q_rare_conj", lambda c: search(c, "vector AND line AND dup", limit=10)),
+]
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 4)
+
+
+def main() -> None:
+    spark = get_spark("refimage-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    emb.count()
+    corpus = Corpus.from_documents(docs)
+
+    times: dict[str, float] = {}
+
+    # retrieval query set (each fully materialized via collect)
+    for name, q in QUERY_SET:
+        times[name] = timed(lambda q=q: q(corpus).collect())
+
+    # training-data ops
+    times["dedup_exact"] = timed(lambda: D.exact_dedup(docs).count())
+    times["dedup_minhash"] = timed(
+        lambda: D.minhash_neardup_pairs(docs, threshold=0.4).count()
+    )
+    times["dedup_simhash"] = timed(
+        lambda: D.simhash_neardup_pairs(docs, max_hamming=3).count()
+    )
+    times["text_quality"] = timed(
+        lambda: TS.quality_score(docs).agg(F.avg("quality")).collect()
+    )
+    times["lang_id"] = timed(
+        lambda: TS.lang_id(docs).groupBy("pred_lang").count().collect()
+    )
+    qv = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    times["ann_exact"] = timed(lambda: SIM.cosine_topk(emb, qv, k=10).collect())
+    times["ann_ivf"] = timed(lambda: SIM.ivf_topk(emb, qv, k=10).collect())
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": 0.1,
+                "n_docs": n_docs,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

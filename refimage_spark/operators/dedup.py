@@ -1,0 +1,323 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates only by exact content hash at ingest
+(SHA-256 + UNIQUE constraint, src/refimage/storage.py:130-138,278-281).
+At web scale a pipeline needs the whole ladder — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding cosine — each implemented here as
+declarative DataFrame algebra.
+
+Engine-parity hashing: every hash used by MinHash/SimHash is
+``md5int60(s) = int(md5(s)[:15 hex], 16)`` — 60 bits, representable as
+a non-negative BIGINT in both Spark (`conv`) and DuckDB (hex cast), so
+every operator has an exact SQL oracle.
+
+Scale notes (100 TB):
+- exact dedup: one hash-shuffle on the digest; keep-first via min(doc_id)
+  aggregation (no window, no sort).
+- MinHash/LSH: signatures are computed map-side from the tokens array
+  with built-in higher-order functions (transform/aggregate) — zero
+  Python, zero shuffle; the only shuffles are the band-bucket
+  self-join (keys are 60-bit band hashes, uniformly distributed — no
+  skew) and the final pair dedup. Candidate verification re-joins the
+  (small) candidate set against doc shingle sets; at 10^12 docs you'd
+  bound bucket width (drop buckets > B docs — boilerplate black-hole
+  buckets) exactly like the head-term salting in the index build.
+- SimHash: fingerprint is a map-side aggregate per doc; near-dup join
+  blocks on 15-bit fingerprint quarters (pigeonhole: hamming<=3 pairs
+  share >=1 of 4 blocks), then verifies with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from refimage_spark.tokenizer import spark_tokens
+
+# ---- engine-parity hash ------------------------------------------------------
+
+
+def md5int60(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT (same in DuckDB via
+    cast(concat('0x', substr(md5(s),1,15)) as bigint))."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5int60_sql(expr: str) -> str:
+    return f"cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
+
+
+# ---- exact dedup (S10) -------------------------------------------------------
+
+
+def exact_dedup(documents: DataFrame, content_col: str = "text") -> DataFrame:
+    """Survivors of exact-content dedup: keep the smallest doc_id per
+    digest. groupBy-min instead of a window: partial aggregation makes the
+    shuffle carry one row per (digest) per map task, not every row."""
+    return (
+        documents.select(F.md5(F.col(content_col)).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---- shingling ---------------------------------------------------------------
+
+
+def with_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct n-grams of tokens,
+    joined by single spaces. Built-ins only (filter/transform/slice)."""
+    toks = spark_tokens("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return documents.select("doc_id", sh.alias("shingles"))
+
+
+# ---- MinHash + LSH -----------------------------------------------------------
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_hashes]) — sig[i] = min over shingles of
+    md5int60(shingle || '#i'). Map-side only; docs with no shingles drop out."""
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: md5int60(F.concat(s, F.lit(f"#{i}"))),
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return (
+        shingled.where(F.size("shingles") > 0)
+        .select("doc_id", *cols)
+        .select("doc_id", sig.alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs sharing >=1 LSH band."""
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Attach exact shingle-Jaccard to (doc_a, doc_b) pairs."""
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_neardup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard >= threshold."""
+    sh = with_shingles(documents, n)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    return jaccard(cand, sh).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Exhaustive exact-Jaccard pairs (the oracle for MinHash recall).
+    O(N^2) — correctness tool at fixture scale; the scale path is
+    minhash_neardup_pairs."""
+    sh = with_shingles(documents, n)
+    pairs = (
+        sh.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(sh.select(F.col("doc_id").alias("doc_b")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    return jaccard(pairs, sh).where(F.col("jaccard") >= threshold)
+
+
+# ---- SimHash -----------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 4  # 15-bit blocks; hamming<=3 pairs share a block
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, fp long) — 60-bit SimHash over token frequencies.
+
+    bit j of fp = sign of sum_t tf(t) * (bit_j(md5int60(t)) ? +1 : -1).
+    Expressed as explode -> tf agg -> 60 conditional sums (all JVM)."""
+    tf = (
+        documents.select("doc_id", F.explode(spark_tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", md5int60(F.col("term")))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("tf")
+            * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tf.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("fp"))
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) with hamming <= max_hamming, via 15-bit
+    block LSH (pigeonhole) + bit_count(xor) verification."""
+    fps = simhash_fingerprints(documents)
+    block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << block_bits) - 1
+    blocked = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("fp"), b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.blk", "bk.bval")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---- embedding cosine near-dup ----------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, block_col: str | None = "label"
+) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine >= threshold.
+
+    Blocking on ``block_col`` (e.g. a cluster/label id) bounds the
+    quadratic join; pass None for the exhaustive form. The scale path
+    replaces the label blocking with LSH buckets
+    (similarity.random_hyperplane_buckets)."""
+    e = embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cos = cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

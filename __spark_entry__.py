@@ -18,6 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from refimage_spark.index.build import build_index
+from refimage_spark.index.query import search_index
 from refimage_spark.operators import dedup as D
 from refimage_spark.operators import metadata as M
 from refimage_spark.operators import multimodal as MM
@@ -92,6 +94,47 @@ def _md5i60(e: str) -> str:
     return D.md5int60_sql(e)
 
 
+# --- segment-engine adapter: index the documents table as a pages corpus ---
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir/process) a real segment index over the
+    documents table; urls encode the original doc_id for mapping back."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="refimage_idx_")
+    pages = _docs(spark, sf_dir).select(
+        F.format_string("doc://%08d", "doc_id").alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"),
+        "text",
+        "lang",
+    )
+    build_index(spark, pages, d, num_parts=8, content_dedup=False)
+    _INDEX_CACHE[sf_dir] = d
+    return d
+
+
+def _index_search(
+    spark: SparkSession, sf_dir: str, q: str, k: int = 10, threshold: float = 0.0
+) -> DataFrame:
+    d = _ensure_index(spark, sf_dir)
+    res = search_index(spark, d, q, k=k, threshold=threshold).withColumnRenamed(
+        "doc_id", "internal_id"
+    )
+    id_map = spark.read.parquet(f"{d}/docs.parquet").select(
+        F.col("doc_id").alias("internal_id"),
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("long").alias("doc_id"),
+    )
+    return res.join(id_map, "internal_id").select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 # ----------------------------------------------------------------- entry  --
 
 
@@ -126,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsl_functional_exclude"] = lambda s, d: _r4(
         search(_corpus(s, d), 'EXCLUDE(TEXT("stream window"), TEXT("batch"))', limit=10)
     )
+    # --- the real segment engine (index build + WAND / boolean eval) ---
+    q["index_bm25_topk"] = lambda s, d: _index_search(s, d, "spark join window")
+    q["index_dsl_not"] = lambda s, d: _index_search(s, d, "table scan NOT slow")
     # --- metadata table ops (SURVEY §2.1/§2.2: S2, S3, P1-P5, W4, W5) ---
     q["point_lookup"] = lambda s, d: M.point_lookup(_docs(s, d), 42)
     q["metadata_page"] = lambda s, d: M.list_documents(
@@ -257,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM ({_clause_sql(['stream', 'window'])}) a WHERE a.doc_id NOT IN "
         f"(SELECT doc_id FROM ({_clause_sql(['batch'])}) b)"
     )
+    o["index_bm25_topk"] = o["bm25_topk"]  # same semantics, real index engine
+    o["index_dsl_not"] = o["dsl_not"]
     o["point_lookup"] = "SELECT * FROM documents WHERE doc_id = 42"
     o["metadata_page"] = (
         "SELECT * FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20 OFFSET 10"

@@ -1,14 +1,18 @@
 """Benchmark harness — prints ONE JSON line.
 
-Runs the headline operators at $SPARK_GRAFT_SF_DIR (default
+Runs the headline workload at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
 
-- index_build        : pages-corpus inverted-index build (docs/sec path)
-- bm25 query set     : the FIXTURES.md §3 reference query shapes
-- dedup / ann / text : training-data pipeline headliners
+- index_build          : segment-index build over a deterministic
+                         synthetic pages corpus (BASELINE.json metric:
+                         docs/sec; also postings/sec + bytes)
+- index query p95      : BM25 top-10 via the segment/WAND engine over
+                         the FIXTURES.md §3 reference query set
+- oracle query set     : the same queries as DataFrame plans
+- dedup / ann / text   : training-data pipeline headliners
 
 Output: {"metric": "e2e_sec", "value": N, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": 0.1}
+         "queries": {name: sec, ...}, "sf": 0.1, ...extras}
 """
 
 from __future__ import annotations
@@ -16,21 +20,38 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from refimage_spark.index.build import build_index
+from refimage_spark.index.query import search_index
 from refimage_spark.operators import dedup as D
 from refimage_spark.operators import similarity as SIM
 from refimage_spark.operators import textstats as TS
 from refimage_spark.operators.bm25 import Corpus, bm25_topk
 from refimage_spark.plans.compiler import search
 from refimage_spark.session import get_spark
+from refimage_spark.sources.pages import generate_pages
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+PAGES_N = int(os.environ.get("SPARK_GRAFT_PAGES", "20000"))
+INDEX_QUERIES = [  # FIXTURES.md §3 reference query set
+    "red car",
+    "fast car #en",
+    "red car OR blue house",
+    "sports car AND #en",
+    "luxury car^0.8",
+    "beach sunset NOT person",
+    "red car^0.8 OR blue car^0.6",
+    'EXCLUDE(TEXT("beach sunset"), TEXT("person"))',
+    "car",
+    "mountain river train engine",
+]
 
 QUERY_SET = [
     ("q_text", lambda c: bm25_topk(c, "spark join window", k=10)),
@@ -59,8 +80,33 @@ def main() -> None:
     corpus = Corpus.from_documents(docs)
 
     times: dict[str, float] = {}
+    extras: dict[str, float] = {}
 
-    # retrieval query set (each fully materialized via collect)
+    # --- segment-index build (the authoritative docs/sec metric) ------------
+    pages = generate_pages(spark, PAGES_N, seed=42, partitions=int(CPUS))
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t0 = time.perf_counter()
+    m = build_index(spark, pages, idx_dir, num_parts=32)
+    times["index_build"] = round(time.perf_counter() - t0, 4)
+    extras["build_docs_per_sec"] = round(m["n_docs"] / times["index_build"], 1)
+    extras["build_postings_per_sec"] = round(
+        m["n_postings"] / times["index_build"], 1
+    )
+    extras["index_bytes"] = m["post_bytes"]
+    extras["index_n_docs"] = m["n_docs"]
+
+    # --- segment-engine query latency (p50/p95 over the reference set) ------
+    lat = []
+    for q in INDEX_QUERIES:
+        t0 = time.perf_counter()
+        search_index(spark, idx_dir, q, k=10).collect()
+        lat.append(time.perf_counter() - t0)
+    lat_sorted = sorted(lat)
+    times["index_query_set"] = round(sum(lat), 4)
+    extras["query_p50_sec"] = round(lat_sorted[len(lat) // 2], 4)
+    extras["query_p95_sec"] = round(lat_sorted[int(len(lat) * 0.95) - 1], 4)
+
+    # --- DataFrame-oracle retrieval query set --------------------------------
     for name, q in QUERY_SET:
         times[name] = timed(lambda q=q: q(corpus).collect())
 
@@ -93,6 +139,7 @@ def main() -> None:
                 "sf": 0.1,
                 "n_docs": n_docs,
                 "cpus": CPUS,
+                **extras,
             }
         )
     )

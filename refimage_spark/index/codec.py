@@ -1,0 +1,88 @@
+"""Delta + varbyte codec, vectorized numpy (no per-element Python).
+
+Format: classic VB — little-endian base-128; the HIGH bit set marks the
+LAST byte of a value. Doc ids are delta-encoded (gaps) before VB.
+
+Reference analogue: the FAISS index serialization it replaces is an
+opaque binary (/root/reference/src/refimage/search/__init__.py:343-353);
+this codec is the from-scratch posting-list compression required by the
+rebuild's north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode non-negative int64/uint64 array. Vectorized: compute each
+    value's byte length, scatter 7-bit groups into one output buffer."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value = number of 7-bit groups (>=1)
+    lengths = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while np.any(tmp):
+        lengths += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    total = int(lengths.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    shifted = v.copy()
+    max_len = int(lengths.max())
+    for b in range(max_len):
+        mask = lengths > b
+        pos = starts[mask] + b
+        out[pos] = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        shifted = shifted >> np.uint64(7)
+    out[ends - 1] |= 0x80  # terminator bit on last byte of each value
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode to uint64 array. Vectorized via reduceat over value groups."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero(b & 0x80)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    # position of each byte within its value group
+    idx = np.arange(b.size, dtype=np.int64)
+    group_id = np.searchsorted(ends, idx, side="left")
+    within = idx - starts[group_id]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    sums = np.add.reduceat(contrib, starts)
+    if count is not None:
+        assert sums.size == count, (sums.size, count)
+    return sums.astype(np.uint64)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    out = np.empty_like(a)
+    if a.size:
+        out[0] = a[0]
+        np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.int64))
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+    """(docs_blob, tfs_blob): gaps-VB for sorted doc ids, VB for tfs."""
+    gaps = delta_encode(doc_ids)
+    return varbyte_encode(gaps), varbyte_encode(tfs)
+
+
+def decode_postings(
+    docs_blob: bytes, tfs_blob: bytes, count: int
+) -> tuple[np.ndarray, np.ndarray]:
+    doc_ids = delta_decode(varbyte_decode(docs_blob, count))
+    tfs = varbyte_decode(tfs_blob, count).astype(np.int64)
+    return doc_ids, tfs

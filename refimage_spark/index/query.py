@@ -1,0 +1,360 @@
+"""Query engine over segment files: BM25 top-k with block-max WAND.
+
+Rebuild of the reference's query path (exact FAISS scan + set algebra,
+/root/reference/src/refimage/search/__init__.py:202-266 +
+/root/reference/src/refimage/dsl.py) as:
+
+  parse DSL (driver) -> global idf lookup (term_stats.parquet, filter
+  pushdown on query terms) -> ONE Spark stage: every segment evaluates
+  the whole query tree locally (docs live in exactly one segment, so
+  per-segment results are disjoint and exact) with a bounded top-k ->
+  global TakeOrdered merge of <= P*k candidate rows.
+
+Two scorers, both exact, rank-identical to the DataFrame oracle:
+- vectorized term-at-a-time (numpy union-sum) — default; fastest when
+  query terms' postings fit comfortably in memory (they always do: a
+  segment's posting list is corpus/P sized);
+- document-at-a-time block-max WAND — skips whole 128-posting blocks
+  whose upper bound can't reach the running top-k threshold; wins on
+  conjunctive / long-postings / high-k-threshold workloads. Used for
+  pure text queries; pruning is rank-safe (block max_q is a true upper
+  bound on the tf factor).
+
+Score spec mirrors operators/bm25.py expression-for-expression so
+float64 results agree with the oracle to the last few ulps.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from refimage_spark import dsl
+from refimage_spark.index.segment import SegmentReader, read_manifest
+from refimage_spark.tokenizer import BM25_B, BM25_K1, py_tokens
+
+K1P1 = BM25_K1 + 1.0
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def global_df(index_dir: str, terms: list[str]) -> dict[str, int]:
+    if not terms:
+        return {}
+    t = pq.read_table(
+        os.path.join(index_dir, "term_stats.parquet"),
+        filters=pc.field("term").isin(terms),
+    )
+    return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
+
+def collect_terms(node: dsl.Node) -> list[str]:
+    if isinstance(node, dsl.TextQuery):
+        return py_tokens(node.text)
+    if isinstance(node, (dsl.And, dsl.Or)):
+        out: list[str] = []
+        for c in node.children:
+            out += collect_terms(c)
+        return out
+    if isinstance(node, dsl.Not):
+        return collect_terms(node.base) + collect_terms(node.exclude)
+    return []
+
+
+def make_idfs(index_dir: str, terms: list[str]) -> dict[str, float]:
+    stats = load_stats(index_dir)
+    n = float(stats["n_docs"])
+    dfs = global_df(index_dir, terms)
+    return {
+        t: float(np.log((n - df + 0.5) / (df + 0.5) + 1.0))
+        for t, df in dfs.items()
+    }
+
+
+# ---- per-segment evaluation ---------------------------------------------------
+
+
+def _union_sum(ids_list: list[np.ndarray], sc_list: list[np.ndarray]):
+    ids = np.concatenate(ids_list)
+    sc = np.concatenate(sc_list)
+    uids, inv = np.unique(ids, return_inverse=True)
+    return uids, np.bincount(inv, weights=sc, minlength=uids.size)
+
+
+def _term_contrib(
+    reader: SegmentReader, entry: dict, idf: float, weight: float, avgdl: float
+):
+    docs, tfs = reader.read_postings(entry)
+    dl = reader.dl_for(docs).astype(np.float64)
+    tf = tfs.astype(np.float64)
+    contrib = ((weight * idf) * (tf * K1P1)) / (
+        tf + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl) / avgdl)
+    )
+    return docs, contrib
+
+
+def eval_node(
+    reader: SegmentReader,
+    node: dsl.Node,
+    idfs: dict[str, float],
+    avgdl: float,
+    threshold: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate a DSL node within one segment -> (sorted doc_ids, scores)."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if isinstance(node, dsl.TextQuery):
+        terms = list(dict.fromkeys(py_tokens(node.text)))
+        present = reader.lookup_terms([t for t in terms if t in idfs])
+        if not present:
+            return empty
+        ids_l, sc_l = [], []
+        for t, entry in present.items():
+            d, c = _term_contrib(reader, entry, idfs[t], node.weight, avgdl)
+            ids_l.append(d)
+            sc_l.append(c)
+        ids, sc = _union_sum(ids_l, sc_l)
+        if threshold > 0.0:
+            m = sc >= threshold
+            ids, sc = ids[m], sc[m]
+        return ids, sc
+    if isinstance(node, dsl.TagFilter):
+        dids, _, langs = reader.norms()
+        want = {t for t in node.tags}
+        lg = np.array([l.lower() for l in langs])
+        if node.mode == "all" and len(want) > 1:
+            # a doc's tag set here is {lang}; >1 required tags can't all match
+            return empty
+        m = np.isin(lg, list(want))
+        ids = dids[m]
+        return ids, np.zeros(ids.size, dtype=np.float64)
+    if isinstance(node, dsl.And):
+        ids, sc = eval_node(reader, node.children[0], idfs, avgdl, threshold)
+        for c in node.children[1:]:
+            i2, s2 = eval_node(reader, c, idfs, avgdl, threshold)
+            common, ia, ib = np.intersect1d(ids, i2, return_indices=True)
+            ids, sc = common, sc[ia] + s2[ib]
+        return ids, sc
+    if isinstance(node, dsl.Or):
+        parts = [eval_node(reader, c, idfs, avgdl, threshold) for c in node.children]
+        return _union_sum([p[0] for p in parts], [p[1] for p in parts])
+    if isinstance(node, dsl.Not):
+        bids, bsc = eval_node(reader, node.base, idfs, avgdl, threshold)
+        eids, _ = eval_node(reader, node.exclude, idfs, avgdl, threshold)
+        m = ~np.isin(bids, eids)
+        return bids[m], bsc[m]
+    raise TypeError(node)
+
+
+def topk_arrays(ids: np.ndarray, sc: np.ndarray, k: int):
+    """Exact top-k under total order (score desc, doc_id asc) — keeps ALL
+    kth-score ties before the final lexsort cut, so tie-break by doc id is
+    never lost to the partition step."""
+    if ids.size <= k:
+        order = np.lexsort((ids, -sc))
+        return ids[order], sc[order]
+    kth = np.partition(sc, ids.size - k)[ids.size - k]
+    mask = sc >= kth
+    sid, ssc = ids[mask], sc[mask]
+    order = np.lexsort((sid, -ssc))[:k]
+    return sid[order], ssc[order]
+
+
+# ---- block-max WAND (document-at-a-time) --------------------------------------
+
+
+@dataclass
+class _Cursor:
+    docs: np.ndarray
+    tfs: np.ndarray
+    block_last: np.ndarray
+    block_maxq: np.ndarray  # per-block q upper bound, CURRENT-stats valid
+    idf_w: float  # weight * idf * (k1+1)
+    pos: int = 0
+
+    def cur(self) -> int:
+        return int(self.docs[self.pos]) if self.pos < self.docs.size else 1 << 62
+
+    def max_score(self) -> float:
+        return self.idf_w * float(self.block_maxq.max()) if self.docs.size else 0.0
+
+    def block_bound_at(self) -> float:
+        b = self.pos // 128
+        return self.idf_w * float(self.block_maxq[min(b, self.block_maxq.size - 1)])
+
+    def seek(self, target: int) -> None:
+        if self.pos < self.docs.size and self.docs[self.pos] < target:
+            self.pos += int(
+                np.searchsorted(self.docs[self.pos :], target, side="left")
+            )
+
+
+def wand_topk_segment(
+    reader: SegmentReader,
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    weight: float = 1.0,
+    threshold: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k for a bag-of-terms query via block-max WAND pruning."""
+    present = reader.lookup_terms([t for t in dict.fromkeys(terms) if t in idfs])
+    if not present:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    norm_ids, norm_dls, _ = reader.norms()
+    cursors: list[_Cursor] = []
+    for t, entry in present.items():
+        docs, tfs = reader.read_postings(entry)
+        bl, btf, bdl = reader.read_blockmax(entry)
+        # q(max_tf, min_dl) with CURRENT avgdl: a true upper bound on the
+        # block's tf factor for any posting (monotone in tf and dl)
+        btf_f = btf.astype(np.float64)
+        bq = btf_f / (
+            btf_f
+            + BM25_K1
+            * ((1.0 - BM25_B) + (BM25_B * bdl.astype(np.float64)) / avgdl)
+        )
+        cursors.append(
+            _Cursor(docs, tfs, bl, bq, idf_w=weight * idfs[t] * K1P1)
+        )
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
+
+    def required() -> float:
+        """Pruning bound. Pruning is STRICT (< required): candidates whose
+        upper bound ties the kth score must still be scored, because the
+        (score desc, doc_id asc) total order can admit them on doc id."""
+        if len(heap) == k:
+            return max(threshold, heap[0][0])
+        return threshold
+
+    def score_doc(doc: int, active: list[_Cursor]) -> float:
+        dl = float(norm_dls[np.searchsorted(norm_ids, doc)])
+        denom_norm = BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl) / avgdl)
+        s = 0.0
+        for c in active:
+            tf = float(c.tfs[c.pos])
+            s += c.idf_w * tf / (tf + denom_norm)
+        return s
+
+    while True:
+        live = [c for c in cursors if c.pos < c.docs.size]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur())
+        req = required()
+        # pivot: smallest prefix whose max-score sum can reach req
+        acc = 0.0
+        pivot_i = -1
+        for i, c in enumerate(live):
+            acc += c.max_score()
+            if acc >= req:
+                pivot_i = i
+                break
+        if pivot_i < 0:
+            break  # all terms together can't reach the bound
+        pivot_doc = live[pivot_i].cur()
+        if live[0].cur() == pivot_doc:
+            # block-max refinement at current cursor blocks
+            block_acc = sum(
+                c.block_bound_at() for c in live[: pivot_i + 1]
+                if c.cur() <= pivot_doc
+            )
+            matching = [c for c in live if c.cur() == pivot_doc]
+            if block_acc >= req or len(heap) < k:
+                s = score_doc(pivot_doc, matching)
+                if s >= threshold:
+                    if len(heap) < k:
+                        heapq.heappush(heap, (s, -pivot_doc))
+                    elif (s, -pivot_doc) > heap[0]:
+                        heapq.heapreplace(heap, (s, -pivot_doc))
+            for c in matching:
+                c.pos += 1
+        else:
+            for c in live[:pivot_i]:
+                c.seek(pivot_doc)
+    if not heap:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    items = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    ids = np.array([-d for _, d in items], dtype=np.int64)
+    sc = np.array([s for s, _ in items], dtype=np.float64)
+    return ids, sc
+
+
+# ---- distributed query --------------------------------------------------------
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def search_index(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    threshold: float = 0.0,
+    use_wand: bool | None = None,
+) -> DataFrame:
+    """Distributed top-k: one row per surviving candidate, globally ranked."""
+    node = dsl.parse(query)
+    stats = load_stats(index_dir)
+    avgdl = float(stats["avgdl"])
+    terms = list(dict.fromkeys(collect_terms(node)))
+    idfs = make_idfs(index_dir, terms)
+    pids = sorted(r["partition_id"] for r in read_manifest(index_dir))
+    tomb = _load_tombstones(index_dir)
+    # WAND prunes docs before scoring, so it can't see tombstones that
+    # would free top-k slots — fall back to the exact full-eval path then.
+    is_pure_text = isinstance(node, dsl.TextQuery) and tomb is None
+    wand = is_pure_text if use_wand is None else (use_wand and is_pure_text)
+    idx_dir = index_dir
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            for pid in rb.column("pid").to_pylist():
+                reader = SegmentReader(idx_dir, int(pid))
+                if wand:
+                    ids, sc = wand_topk_segment(
+                        reader,
+                        py_tokens(node.text),
+                        idfs,
+                        avgdl,
+                        k,
+                        weight=node.weight,
+                        threshold=threshold,
+                    )
+                else:
+                    ids, sc = eval_node(reader, node, idfs, avgdl, threshold)
+                    if tomb is not None and ids.size:
+                        m = ~np.isin(ids, tomb)  # BEFORE topk: a tombstone
+                        ids, sc = ids[m], sc[m]  # must free its top-k slot
+                    ids, sc = topk_arrays(ids, sc, k)
+                if ids.size:
+                    yield pa.record_batch(
+                        [pa.array(ids, pa.int64()), pa.array(sc, pa.float64())],
+                        names=["doc_id", "score"],
+                    )
+
+    pid_df = spark.createDataFrame([(p,) for p in pids], "pid int").repartition(
+        min(len(pids), 64)
+    )
+    cand = pid_df.mapInArrow(run, schema=RESULT_SCHEMA)
+    return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _load_tombstones(index_dir: str) -> np.ndarray | None:
+    p = os.path.join(index_dir, "tombstones.parquet")
+    if not os.path.exists(p):
+        return None
+    return pq.read_table(p)["doc_id"].to_numpy()

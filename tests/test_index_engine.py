@@ -1,0 +1,144 @@
+"""Segment engine: build -> query, rank+score identity vs the DataFrame
+oracle, WAND vs vectorized identity, resume-from-checkpoint."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from refimage_spark.index.build import build_index
+from refimage_spark.index.query import (
+    eval_node,
+    make_idfs,
+    search_index,
+    wand_topk_segment,
+)
+from refimage_spark.index.segment import SegmentReader, read_manifest
+from refimage_spark import dsl
+from refimage_spark.operators.bm25 import Corpus
+from refimage_spark.plans.compiler import search
+from refimage_spark.sources.pages import generate_pages
+from refimage_spark.tokenizer import py_tokens
+
+N_DOCS = 1200
+N_PARTS = 8
+
+QUERY_SET = [  # FIXTURES.md §3
+    "red car",
+    "fast car #en",
+    "red car OR blue house",
+    "sports car AND #en",
+    "luxury car^0.8",
+    "beach sunset NOT person",
+    "red car^0.8 OR blue car^0.6",
+    'EXCLUDE(TEXT("beach sunset"), TEXT("person"))',
+    "car",  # head term
+    "mountain river train engine",  # rare conjunction-ish bag
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    pages = generate_pages(spark, N_DOCS, seed=42, partitions=6)
+    metrics = build_index(spark, pages, d, num_parts=N_PARTS)
+    assert metrics["n_segments"] == N_PARTS
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_corpus(spark, index_dir):
+    """Corpus over the SAME docs table the build produced (same doc_ids,
+    same post-dedup doc set)."""
+    docs = spark.read.parquet(f"{index_dir}/docs.parquet")
+    from refimage_spark.tokenizer import spark_tokens
+
+    toks = spark_tokens("text")
+    return Corpus(
+        docs.select(
+            "doc_id",
+            toks.alias("tokens"),
+            F.size(toks).alias("dl"),
+            F.array("lang").alias("tags"),
+            "lang",
+        )
+    )
+
+
+def test_manifest_complete(spark, index_dir):
+    rows = read_manifest(index_dir)
+    stats = json.load(open(f"{index_dir}/stats.json"))
+    assert sum(r["n_docs"] for r in rows) == stats["n_docs"]
+    assert all(r["checksum"] for r in rows)
+    # dedup happened: planted url+content dups removed
+    assert stats["n_docs"] < N_DOCS
+
+
+@pytest.mark.parametrize("q", QUERY_SET)
+def test_rank_identity_vs_oracle(spark, index_dir, oracle_corpus, q):
+    got = search_index(spark, index_dir, q, k=10).collect()
+    want = search(oracle_corpus, q, limit=10).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want], q
+    for g, w in zip(got, want):
+        assert g.score == pytest.approx(w.score, rel=1e-9), (q, g, w)
+
+
+def test_threshold(spark, index_dir, oracle_corpus):
+    got = search_index(spark, index_dir, "red car", k=50, threshold=1.0).collect()
+    want = search(oracle_corpus, "red car", limit=50, threshold=1.0).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert all(r.score >= 1.0 for r in got)
+
+
+def test_wand_equals_vectorized(spark, index_dir):
+    stats = json.load(open(f"{index_dir}/stats.json"))
+    terms = ["red", "car", "house"]
+    idfs = make_idfs(index_dir, terms)
+    for pid in range(N_PARTS):
+        r = SegmentReader(index_dir, pid)
+        node = dsl.TextQuery("red car house", 1.0)
+        vids, vsc = eval_node(r, node, idfs, stats["avgdl"], 0.0)
+        from refimage_spark.index.query import topk_arrays
+
+        vids, vsc = topk_arrays(vids, vsc, 10)
+        wids, wsc = wand_topk_segment(r, terms, idfs, stats["avgdl"], 10)
+        assert vids.tolist() == wids.tolist(), pid
+        np.testing.assert_allclose(vsc, wsc, rtol=1e-9)
+
+
+def test_resume_after_partial_build(spark, tmp_path):
+    d = str(tmp_path / "idx2")
+    pages = generate_pages(spark, 400, seed=42, partitions=4)
+    build_index(spark, pages, d, num_parts=6)
+    full_manifest = {r["segment_id"]: r["checksum"] for r in read_manifest(d)}
+    res_full = search_index(spark, d, "red car", k=10).collect()
+
+    # simulate a crash: wipe 3 partitions' segments + manifest rows
+    d2 = str(tmp_path / "idx3")
+    shutil.copytree(d, d2)
+    for pid in [1, 3, 4]:
+        for f in glob.glob(f"{d2}/segments/seg-{pid:05d}*"):
+            os.remove(f)
+        os.remove(f"{d2}/manifest/part-{pid:05d}.json")
+    assert len(read_manifest(d2)) == 3
+
+    metrics = build_index(spark, pages, d2, num_parts=6)  # resume
+    assert metrics["segments_written_this_run"] == 3
+    resumed = {r["segment_id"]: r["checksum"] for r in read_manifest(d2)}
+    assert resumed == full_manifest  # byte-identical segments
+    res_resumed = search_index(spark, d2, "red car", k=10).collect()
+    assert [tuple(r) for r in res_resumed] == [tuple(r) for r in res_full]
+
+
+def test_build_deterministic_across_parallelism(spark, tmp_path):
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(spark, generate_pages(spark, 300, seed=42, partitions=2), a, num_parts=4)
+    build_index(spark, generate_pages(spark, 300, seed=42, partitions=7), b, num_parts=4)
+    ma = {r["segment_id"]: r["checksum"] for r in read_manifest(a)}
+    mb = {r["segment_id"]: r["checksum"] for r in read_manifest(b)}
+    assert ma == mb

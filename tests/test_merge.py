@@ -1,0 +1,78 @@
+"""Log-structured maintenance: delete (tombstones), compaction, append."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from refimage_spark.index.build import build_index
+from refimage_spark.index.merge import append_pages, compact, delete_docs
+from refimage_spark.index.query import search_index
+from refimage_spark.index.segment import read_manifest
+from refimage_spark.sources.pages import generate_pages
+
+
+@pytest.fixture()
+def small_index(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    pages = generate_pages(spark, 300, seed=42, partitions=3)
+    build_index(spark, pages, d, num_parts=4)
+    return d
+
+
+def test_delete_masks_immediately(spark, small_index):
+    before = search_index(spark, small_index, "red car", k=5).collect()
+    victim = before[0].doc_id
+    delete_docs(small_index, [victim])
+    after = search_index(spark, small_index, "red car", k=5).collect()
+    assert victim not in [r.doc_id for r in after]
+    # the doc that was rank 2 is now rank 1 with an UNCHANGED score
+    assert after[0].doc_id == before[1].doc_id
+    assert after[0].score == pytest.approx(before[1].score, rel=1e-12)
+
+
+def test_compact_drops_docs_physically(spark, small_index):
+    top = search_index(spark, small_index, "red car", k=3).collect()
+    victims = [r.doc_id for r in top[:2]]
+    delete_docs(small_index, victims)
+    stats_before = json.load(open(f"{small_index}/stats.json"))
+    out = compact(spark, small_index)
+    assert out["compacted"] == 2
+    stats_after = json.load(open(f"{small_index}/stats.json"))
+    assert stats_after["n_docs"] == stats_before["n_docs"] - 2
+    docs = spark.read.parquet(f"{small_index}/docs.parquet")
+    assert docs.where(F.col("doc_id").isin(victims)).count() == 0
+    # index still queries fine, victims gone
+    res = search_index(spark, small_index, "red car", k=5).collect()
+    assert not (set(victims) & {r.doc_id for r in res})
+    assert len(res) == 5
+
+
+def test_append_grows_index(spark, small_index):
+    stats0 = json.load(open(f"{small_index}/stats.json"))
+    segs0 = len(read_manifest(small_index))
+    # new pages under a different seed -> different hosts -> new urls
+    new_pages = generate_pages(spark, 150, seed=43, partitions=2)
+    out = append_pages(spark, new_pages, small_index)
+    stats1 = json.load(open(f"{small_index}/stats.json"))
+    assert out["appended_docs"] > 0
+    assert stats1["n_docs"] == stats0["n_docs"] + out["appended_docs"]
+    assert len(read_manifest(small_index)) > segs0
+    # old and new docs both retrievable
+    res = search_index(spark, small_index, "red car", k=20).collect()
+    assert len(res) == 20
+
+
+def test_wand_rank_safe_after_stats_drift(spark, small_index):
+    """Appends shift N/avgdl/df; WAND's block bounds must track CURRENT
+    stats (regression: stored max_q went stale and could prune true
+    top-k docs)."""
+    append_pages(spark, generate_pages(spark, 150, seed=43, partitions=2),
+                 small_index)
+    wand = search_index(spark, small_index, "red car", k=10,
+                        use_wand=True).collect()
+    full = search_index(spark, small_index, "red car", k=10,
+                        use_wand=False).collect()
+    assert [r.doc_id for r in wand] == [r.doc_id for r in full]
+    for a, b in zip(wand, full):
+        assert a.score == pytest.approx(b.score, rel=1e-12)

@@ -374,11 +374,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT md5(text) AS digest, min(doc_id) AS doc_id, "
         "cast(count(*) AS bigint) AS n_copies FROM documents GROUP BY md5(text)"
     )
-    # minhash: 16 hashes, 4 bands of 4 — identical md5-derived hash family
+    # minhash: 16 universal hashes over one md5 base — same constants as
+    # operators/dedup.py (A/B generated from the same seeded stream)
+    mh_a, mh_b = D._hash_constants(16)
+    sig_comp = ", ".join(
+        f"list_min([(h * {mh_a[i]} + {mh_b[i]}) % {D.MINHASH_P61} for h in hs])"
+        for i in range(16)
+    )
     o["dedup_minhash"] = f"""{_PREFIX}, {_SHINGLE_SQL},
-    sig AS (SELECT doc_id, shingles,
-      [list_min([{_md5i60("s || '#' || j")} for s in shingles]) for j in range(0, 16)] AS sig
+    hsd AS (SELECT doc_id, shingles,
+      [{D.md5int32_sql('s')} for s in shingles] AS hs
       FROM sh WHERE len(shingles) > 0),
+    sig AS (SELECT doc_id, shingles, [{sig_comp}] AS sig FROM hsd),
     bands AS (SELECT doc_id, unnest(range(0, 4)) AS band,
       unnest([md5(array_to_string(sig[b*4+1:b*4+4], '-')) for b in range(0, 4)]) AS bkey
       FROM sig),

@@ -88,31 +88,41 @@ def prepare_docs(
 ) -> DataFrame:
     """url-dedup (keep latest warc_ts — recrawl wins, matching the
     reference's UNIQUE-hash ingest semantics src/refimage/storage.py:278-281)
-    + optional content-hash dedup (keep smallest url), then id assignment."""
+    + optional content-hash dedup (keep smallest url), then id assignment.
+
+    html is reduced to its sha2 in the very first projection: the raw
+    bytes are ~10x the text and pass A shuffles the corpus three times
+    (url-dedup, hash-dedup, id-assignment) — none of them needs the body."""
+    slim = pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "text",
+        F.sha2("html", 256).alias("content_hash"),
+    )
     w_url = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
     deduped = (
-        pages.withColumn("_rn", F.row_number().over(w_url))
+        slim.withColumn("_rn", F.row_number().over(w_url))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
     if content_dedup:
-        w_html = Window.partitionBy(F.sha2("html", 256)).orderBy("url")
+        w_hash = Window.partitionBy("content_hash").orderBy("url")
         deduped = (
-            deduped.withColumn("_rh", F.row_number().over(w_html))
+            deduped.withColumn("_rh", F.row_number().over(w_hash))
             .where(F.col("_rh") == 1)
             .drop("_rh")
         )
     toks = spark_tokens("text")
-    docs = assign_doc_ids(deduped, num_parts).select(
+    return assign_doc_ids(deduped, num_parts).select(
         "doc_id",
         "part",
         "url",
         "lang",
         "text",
         F.size(toks).alias("dl"),
-        F.sha2("html", 256).alias("content_hash"),
+        "content_hash",
     )
-    return docs
 
 
 def build_index(
@@ -128,22 +138,18 @@ def build_index(
     stats_path = os.path.join(index_dir, STATS_FILE)
 
     # ---- pass A: docs + global stats (skipped on resume) --------------------
+    t_pass_a = 0.0
     if not os.path.exists(stats_path):
         docs = prepare_docs(pages, num_parts, content_dedup)
-        docs.write.mode("overwrite").partitionBy("part").parquet(_docs_path(index_dir))
+        # co-locate each part before the partitioned write: one file per
+        # part dir instead of (tasks x parts) small files
+        docs.repartition(num_parts, "part").write.mode("overwrite").partitionBy(
+            "part"
+        ).parquet(_docs_path(index_dir))
         docs_r = spark.read.parquet(_docs_path(index_dir))
         st = docs_r.agg(
             F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         ).head()
-        (
-            docs_r.select(F.explode(F.array_distinct(spark_tokens("text"))).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .repartition(1)
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(_term_stats_path(index_dir))
-        )
         with open(stats_path + ".tmp", "w") as f:
             json.dump(
                 {
@@ -155,12 +161,21 @@ def build_index(
                 f,
             )
         os.replace(stats_path + ".tmp", stats_path)
+        t_pass_a = time.perf_counter() - t0
     stats = json.loads(open(stats_path).read())
     avgdl = stats["avgdl"]
     num_parts = stats["num_parts"]
 
     # ---- pass B: postings shuffle + segment write ---------------------------
+    t_b0 = time.perf_counter()
     n_written = _write_segments_for(spark, index_dir, avgdl, num_parts=num_parts)
+    t_pass_b = time.perf_counter() - t_b0
+
+    # ---- term_stats: global df = sum of per-segment dict dfs ----------------
+    # (docs live in exactly one segment, so the sum is exact). Reading the
+    # dictionaries is ~1000x cheaper than re-tokenizing the corpus.
+    if n_written or not os.path.exists(_term_stats_path(index_dir)):
+        write_term_stats(spark, index_dir)
 
     elapsed = time.perf_counter() - t0
     manifest = read_manifest(index_dir)
@@ -173,6 +188,8 @@ def build_index(
         "post_bytes": total_bytes,
         "n_segments": len(manifest),
         "build_sec": round(elapsed, 3),
+        "pass_a_sec": round(t_pass_a, 3),
+        "pass_b_sec": round(t_pass_b, 3),
         "docs_per_sec": round(n_docs / elapsed, 1),
         "postings_per_sec": round(n_postings / elapsed, 1),
         "segments_written_this_run": n_written,
@@ -180,6 +197,18 @@ def build_index(
     with open(os.path.join(index_dir, "build_metrics.json"), "w") as f:
         json.dump(metrics, f)
     return metrics
+
+
+def write_term_stats(spark: SparkSession, index_dir: str) -> None:
+    (
+        spark.read.parquet(os.path.join(index_dir, "segments", "*.dict.parquet"))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .repartition(1)
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(_term_stats_path(index_dir))
+    )
 
 
 def _write_segments_for(

@@ -14,6 +14,31 @@ from __future__ import annotations
 import numpy as np
 
 
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode + per-value byte lengths (lets a caller slice one big blob
+    into per-group regions via cumsum, e.g. per-term posting ranges)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    lengths = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while np.any(tmp):
+        lengths += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    total = int(lengths.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    shifted = v.copy()
+    for b in range(int(lengths.max())):
+        mask = lengths > b
+        pos = starts[mask] + b
+        out[pos] = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        shifted = shifted >> np.uint64(7)
+    out[ends - 1] |= 0x80
+    return out.tobytes(), lengths
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Encode non-negative int64/uint64 array. Vectorized: compute each
     value's byte length, scatter 7-bit groups into one output buffer."""

@@ -61,6 +61,10 @@ def delete_docs(index_dir: str, doc_ids: list[int]) -> None:
 
 
 def _recompute_global_stats(spark: SparkSession, index_dir: str) -> None:
+    """N/avgdl from the docs table; df by re-aggregating segment dicts.
+    Must run AFTER segments reflect the new corpus."""
+    from refimage_spark.index.build import write_term_stats
+
     docs = spark.read.parquet(os.path.join(index_dir, "docs.parquet"))
     st = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).head()
     stats = json.loads(open(os.path.join(index_dir, STATS_FILE)).read())
@@ -69,15 +73,7 @@ def _recompute_global_stats(spark: SparkSession, index_dir: str) -> None:
     with open(tmp, "w") as f:
         json.dump(stats, f)
     os.replace(tmp, os.path.join(index_dir, STATS_FILE))
-    (
-        docs.select(F.explode(F.array_distinct(spark_tokens("text"))).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .repartition(1)
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, "term_stats.parquet"))
-    )
+    write_term_stats(spark, index_dir)
 
 
 def compact(spark: SparkSession, index_dir: str) -> dict:
@@ -103,9 +99,8 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     kept.write.mode("overwrite").partitionBy("part").parquet(tmp_docs)
     shutil.rmtree(docs_path)
     os.replace(tmp_docs, docs_path)
-    _recompute_global_stats(spark, index_dir)
     stats = json.loads(open(os.path.join(index_dir, STATS_FILE)).read())
-    avgdl = stats["avgdl"]
+    avgdl = stats["avgdl"]  # manifest lineage only; refreshed below
 
     # 2. rewrite each segment without the tombstoned docs (1 task/segment)
     manifest = read_manifest(index_dir)
@@ -157,6 +152,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         os.replace(new, old)
     shutil.rmtree(os.path.join(index_dir, "compact_tmp"))
     os.remove(tomb_path)
+    _recompute_global_stats(spark, index_dir)  # AFTER segments reflect removal
     return {"compacted": int(tomb.size), "segments": len(pids)}
 
 
@@ -185,14 +181,14 @@ def append_pages(
         "doc_id", (F.col("doc_id") + F.lit(int(base_id))).cast("long")
     ).withColumn("part", (F.col("part") + F.lit(int(base_pid))).cast("int"))
     new_docs.write.mode("append").partitionBy("part").parquet(docs_path)
-    _recompute_global_stats(spark, index_dir)
-    stats = json.loads(open(os.path.join(index_dir, STATS_FILE)).read())
-    avgdl = stats["avgdl"]
 
-    # build segments for the new parts only (same writer machinery)
+    # build segments for the new parts only (same writer machinery),
+    # THEN refresh global stats from the updated dictionaries
     from refimage_spark.index.build import _write_segments_for
 
+    stats = json.loads(open(os.path.join(index_dir, STATS_FILE)).read())
     n_new = _write_segments_for(
-        spark, index_dir, avgdl, part_filter=lambda p: p >= base_pid
+        spark, index_dir, stats["avgdl"], part_filter=lambda p: p >= base_pid
     )
+    _recompute_global_stats(spark, index_dir)
     return {"appended_docs": int(new_docs.count()), "new_segments": n_new}

@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
-plus the training-data pipeline ops; ``oracle_sql()`` gives the DuckDB
-equivalent (same column names, floats rounded identically on both sides).
-Entries without an oracle (approximate/hash-seeded ops) get the driver's
-rows-only check: ann_lsh_topk, multimodal_features.
+plus the training-data pipeline ops (36 entries); ``oracle_sql()`` gives
+the DuckDB equivalent for 33 of them (same column names, floats rounded
+identically on both sides — including MinHash/SimHash via an md5-derived
+hash family both engines compute bit-identically, and the real segment
+engine via the index_* entries). The 3 rows-only entries are the
+approximate ANN variants and the hash-seeded multimodal decode stub.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ from pyspark.sql import functions as F
 from refimage_spark.index.build import build_index
 from refimage_spark.index.query import search_index
 from refimage_spark.operators import dedup as D
+from refimage_spark.operators import events as EV
 from refimage_spark.operators import metadata as M
 from refimage_spark.operators import multimodal as MM
 from refimage_spark.operators import similarity as SIM
@@ -174,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["index_dsl_not"] = lambda s, d: _index_search(s, d, "table scan NOT slow")
     # --- metadata table ops (SURVEY §2.1/§2.2: S2, S3, P1-P5, W4, W5) ---
     q["point_lookup"] = lambda s, d: M.point_lookup(_docs(s, d), 42)
+    q["doc_terms"] = lambda s, d: M.doc_terms(_docs(s, d), 42)
     q["metadata_page"] = lambda s, d: M.list_documents(
         _docs(s, d), limit=20, offset=10, sort_by="n_chars", sort_order="desc"
     )
@@ -251,17 +255,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_features"] = lambda s, d: MM.extract_features(
         _docs(s, d).select("doc_id", F.encode("text", "utf-8").alias("raw")), "raw"
     )  # hash-seeded fake decode: rows-only check
-    # --- events: tumbling-window aggregation (streaming-shaped, batch) ---
-    q["events_windowed_agg"] = lambda s, d: (
-        _events(s, d)
-        .groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"),
-            "event_type",
-        )
+    # --- events: windowed / sessionized / running aggregations ---
+    q["events_windowed_agg"] = lambda s, d: EV.tumbling_agg(_events(s, d))
+    q["events_sessionize"] = lambda s, d: EV.sessionize(_events(s, d))
+    q["events_running_total"] = lambda s, d: EV.running_total(_events(s, d))
+    # --- relational coverage over the star schema (join/agg/window) ---
+    q["tpch_pricing_summary"] = lambda s, d: (
+        s.read.parquet(f"{d}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    q["tpch_top_customers"] = lambda s, d: (
+        s.read.parquet(f"{d}/orders.parquet")
+        .join(
+            F.broadcast(s.read.parquet(f"{d}/customer.parquet")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
     )
     return q
 
@@ -306,6 +327,10 @@ def oracle_sql() -> dict[str, str]:
     o["index_bm25_topk"] = o["bm25_topk"]  # same semantics, real index engine
     o["index_dsl_not"] = o["dsl_not"]
     o["point_lookup"] = "SELECT * FROM documents WHERE doc_id = 42"
+    o["doc_terms"] = (
+        f"{_PREFIX} SELECT term, cast(count(*) AS bigint) AS tf "
+        "FROM terms WHERE doc_id = 42 GROUP BY term"
+    )
     o["metadata_page"] = (
         "SELECT * FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 20 OFFSET 10"
     )
@@ -455,5 +480,41 @@ def oracle_sql() -> dict[str, str]:
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "cast(count(*) AS bigint) AS n_events, "
         "round(sum(value), 4) AS total_value FROM events GROUP BY 1, 2"
+    )
+    o["events_sessionize"] = """WITH g AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             OR lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, ts, value,
+        cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS bigint) AS session_idx
+      FROM g)
+    SELECT user_id, session_idx, cast(count(*) AS bigint) AS n_events,
+      round(sum(value), 4) AS total_value,
+      min(ts) AS started, max(ts) AS ended
+    FROM s GROUP BY user_id, session_idx"""
+    o["events_running_total"] = (
+        "SELECT user_id, event_id, round(sum(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING), 4) AS running_value FROM events"
+    )
+    o["tpch_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_discount), 6) AS avg_disc, "
+        "cast(count(*) AS bigint) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    o["tpch_top_customers"] = (
+        "SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_custkey, c_name "
+        "ORDER BY revenue DESC, c_custkey ASC LIMIT 10"
     )
     return o

@@ -60,15 +60,31 @@ def _term_stats_path(index_dir: str) -> str:
     return os.path.join(index_dir, "term_stats.parquet")
 
 
-def assign_doc_ids(pages: DataFrame, num_parts: int) -> DataFrame:
-    """Deterministic dense doc_id (SURVEY.md §2.7 F7) scalable to 10^12
-    rows: hash-part by url, sort within part, add per-part offsets."""
-    part = F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
-    with_part = pages.withColumn("part", part)
-    counts = dict(
-        (r["part"], r["cnt"])
-        for r in with_part.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
+def _part_col(num_parts: int):
+    return F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
+
+
+def _part_profile(slim: DataFrame, num_parts: int) -> tuple[dict, int, float]:
+    """One aggregation pass over the deduped table: per-part row counts
+    (for dense id offsets) AND the global corpus stats (N, avgdl) —
+    folding the stats into the counts job saves a full extra pass."""
+    rows = (
+        slim.groupBy(_part_col(num_parts).alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.size(spark_tokens("text"))).alias("dl_sum"),
+        )
+        .collect()
     )
+    counts = {r["part"]: r["cnt"] for r in rows}
+    n = sum(counts.values())
+    avgdl = sum(r["dl_sum"] for r in rows) / n if n else 0.0
+    return counts, n, float(avgdl)
+
+
+def _with_doc_ids(
+    with_part: DataFrame, counts: dict, num_parts: int
+) -> DataFrame:
     offsets, acc = {}, 0
     for p in range(num_parts):
         offsets[p] = acc
@@ -83,12 +99,21 @@ def assign_doc_ids(pages: DataFrame, num_parts: int) -> DataFrame:
     )
 
 
-def prepare_docs(
-    pages: DataFrame, num_parts: int, content_dedup: bool = True
-) -> DataFrame:
+def assign_doc_ids(pages: DataFrame, num_parts: int) -> DataFrame:
+    """Deterministic dense doc_id (SURVEY.md §2.7 F7) scalable to 10^12
+    rows: hash-part by url, sort within part, add per-part offsets."""
+    with_part = pages.withColumn("part", _part_col(num_parts))
+    counts = dict(
+        (r["part"], r["cnt"])
+        for r in with_part.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    return _with_doc_ids(with_part, counts, num_parts)
+
+
+def _dedup_slim(pages: DataFrame, content_dedup: bool = True) -> DataFrame:
     """url-dedup (keep latest warc_ts — recrawl wins, matching the
     reference's UNIQUE-hash ingest semantics src/refimage/storage.py:278-281)
-    + optional content-hash dedup (keep smallest url), then id assignment.
+    + optional content-hash dedup (keep smallest url).
 
     html is reduced to its sha2 in the very first projection: the raw
     bytes are ~10x the text and pass A shuffles the corpus three times
@@ -113,6 +138,10 @@ def prepare_docs(
             .where(F.col("_rh") == 1)
             .drop("_rh")
         )
+    return deduped
+
+
+def _assign_and_project(deduped: DataFrame, num_parts: int) -> DataFrame:
     toks = spark_tokens("text")
     return assign_doc_ids(deduped, num_parts).select(
         "doc_id",
@@ -123,6 +152,14 @@ def prepare_docs(
         F.size(toks).alias("dl"),
         "content_hash",
     )
+
+
+def prepare_docs(
+    pages: DataFrame, num_parts: int, content_dedup: bool = True
+) -> DataFrame:
+    """dedup + deterministic id assignment (un-persisted form; build_index
+    persists the intermediate to avoid running the dedup twice)."""
+    return _assign_and_project(_dedup_slim(pages, content_dedup), num_parts)
 
 
 def build_index(
@@ -140,21 +177,40 @@ def build_index(
     # ---- pass A: docs + global stats (skipped on resume) --------------------
     t_pass_a = 0.0
     if not os.path.exists(stats_path):
-        docs = prepare_docs(pages, num_parts, content_dedup)
-        # co-locate each part before the partitioned write: one file per
-        # part dir instead of (tasks x parts) small files
-        docs.repartition(num_parts, "part").write.mode("overwrite").partitionBy(
-            "part"
-        ).parquet(_docs_path(index_dir))
-        docs_r = spark.read.parquet(_docs_path(index_dir))
-        st = docs_r.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        ).head()
+        # the deduped slim table feeds TWO consumers (per-part counts for
+        # id offsets + the partitioned write); persist it so the 3-window
+        # dedup pipeline runs once, spilling to disk if it outgrows memory
+        from pyspark import StorageLevel
+
+        slim = _dedup_slim(pages, content_dedup).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            counts, n_total, avgdl_total = _part_profile(slim, num_parts)
+            toks = spark_tokens("text")
+            docs = _with_doc_ids(
+                slim.withColumn("part", _part_col(num_parts)), counts, num_parts
+            ).select(
+                "doc_id",
+                "part",
+                "url",
+                "lang",
+                "text",
+                F.size(toks).alias("dl"),
+                "content_hash",
+            )
+            # co-locate each part before the partitioned write: one file
+            # per part dir instead of (tasks x parts) small files
+            docs.repartition(num_parts, "part").write.mode(
+                "overwrite"
+            ).partitionBy("part").parquet(_docs_path(index_dir))
+        finally:
+            slim.unpersist()
         with open(stats_path + ".tmp", "w") as f:
             json.dump(
                 {
-                    "n_docs": st["n"],
-                    "avgdl": float(st["avgdl"]),
+                    "n_docs": n_total,
+                    "avgdl": avgdl_total,
                     "num_parts": num_parts,
                     "tokenizer": "lower-split-[^a-z0-9]+",
                 },
@@ -264,7 +320,7 @@ def _write_segments_for(
         results = []
         for rb in batches:
             parts = rb.column("pid" if "pid" in rb.schema.names else "part").to_numpy()
-            terms = rb.column("term").to_numpy(zero_copy_only=False)
+            terms = rb.column("term")  # stays Arrow — no Python strings
             docs = rb.column("doc_id").to_numpy()
             if parts.size == 0:
                 continue
@@ -300,7 +356,7 @@ def _write_segments_for(
                     )
                     cur_pid = pid
                     skip_pid = None
-                writer.add_raw(terms[lo:hi], docs[lo:hi])
+                writer.add_raw(terms.slice(lo, hi - lo), docs[lo:hi])
         st = finish()
         if st is not None:
             results.append((st.pid, st.n_docs, st.n_postings))

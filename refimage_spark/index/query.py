@@ -353,6 +353,23 @@ def search_index(
     return cand.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def index_stats(index_dir: str) -> dict:
+    """K5 (reference get_stats, src/refimage/search/__init__.py:398-410):
+    corpus + index statistics from the manifest and stats.json."""
+    stats = load_stats(index_dir)
+    manifest = read_manifest(index_dir)
+    return {
+        "n_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+        "n_segments": len(manifest),
+        "n_postings": sum(r["n_postings"] for r in manifest),
+        "n_terms_total": sum(r["n_terms"] for r in manifest),
+        "post_bytes": sum(r["bytes"] for r in manifest),
+        "num_parts": stats["num_parts"],
+        "tokenizer": stats.get("tokenizer"),
+    }
+
+
 def _load_tombstones(index_dir: str) -> np.ndarray | None:
     p = os.path.join(index_dir, "tombstones.parquet")
     if not os.path.exists(p):

@@ -67,6 +67,29 @@ def stats_rollup(documents: DataFrame) -> DataFrame:
     )
 
 
+def parse_tags(col) -> "F.Column":
+    """F9 (reference src/refimage/api.py:822-824): comma-split a tag
+    string, trim, drop empties — as one JVM expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, ","), lambda t: F.trim(t)),
+        lambda t: t != F.lit(""),
+    )
+
+
+def doc_terms(documents: DataFrame, doc_id: int) -> DataFrame:
+    """S4 (reference get_embedding, src/refimage/storage.py:607-649): the
+    forward-index lookup — one document's term vector (term, tf)."""
+    from refimage_spark.tokenizer import spark_tokens
+
+    return (
+        documents.where(F.col("doc_id") == F.lit(doc_id))
+        .select(F.explode(spark_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def hydrate(results: DataFrame, documents: DataFrame, keep: list[str]) -> DataFrame:
     """P5: replace the reference's per-id point-lookup loop
     (src/refimage/api.py:575-588) with ONE join. The results side is tiny

@@ -1,0 +1,66 @@
+"""Physical-plan audits: the plans we'd want at 100 TB, asserted.
+
+- predicate pushdown reaches the parquet scan (PushedFilters)
+- small sides broadcast (no shuffle of the corpus on the query path)
+- top-k compiles to TakeOrderedAndProject (bounded heap, no global sort)
+- column pruning: BM25 never reads text columns it doesn't need
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from refimage_spark.operators import metadata as M
+from refimage_spark.operators.bm25 import Corpus, bm25_topk
+from refimage_spark.plans.compiler import search
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_point_lookup_pushdown(spark, documents):
+    p = plan_str(M.point_lookup(documents, 42))
+    assert "PushedFilters" in p
+    assert "EqualTo(doc_id,42)" in p.replace(" ", "")
+
+
+def test_topk_is_take_ordered(spark, documents):
+    corpus = Corpus.from_documents(documents)
+    p = plan_str(bm25_topk(corpus, "spark join", k=10))
+    assert "TakeOrderedAndProject" in p
+    # stats + df joins are broadcast: the big exploded side never shuffles
+    # for a join (its only exchange is the tf groupBy)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bm25_scan_prunes_columns(spark, documents):
+    corpus = Corpus.from_documents(documents)
+    p = plan_str(bm25_topk(corpus, "spark join", k=10))
+    # only doc_id + text needed; metadata cols must not be read
+    scan = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scan and all("n_chars" not in l and "source" not in l for l in scan)
+
+
+def test_hydrate_broadcasts_results(spark, documents):
+    top = documents.select("doc_id").limit(5).withColumn("score", F.lit(1.0))
+    p = plan_str(M.hydrate(top, documents, keep=["lang"]))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pagination_no_global_sort_at_offset0(spark, documents):
+    p = plan_str(M.list_documents(documents, limit=10, sort_by="n_chars"))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dsl_not_uses_anti_join(spark, documents):
+    corpus = Corpus.from_documents(documents)
+    p = plan_str(search(corpus, "table NOT slow", limit=10))
+    assert "LeftAnti" in p

@@ -1,0 +1,74 @@
+"""Structured Streaming: micro-batch incremental indexing + windowed aggs."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from refimage_spark.index.build import build_index
+from refimage_spark.index.query import search_index
+from refimage_spark.sources.pages import generate_pages
+from refimage_spark.streaming.ingest import (
+    stream_ingest_pages,
+    windowed_event_counts,
+)
+
+
+def test_stream_ingest_grows_index(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    # seed index with an initial batch
+    build_index(spark, generate_pages(spark, 200, seed=42, partitions=2), idx,
+                num_parts=4)
+    n0 = json.load(open(f"{idx}/stats.json"))["n_docs"]
+    # two new page files land in the inbox (different seeds -> new urls)
+    generate_pages(spark, 80, seed=7, partitions=1).write.mode("append").parquet(inbox)
+    generate_pages(spark, 80, seed=8, partitions=1).write.mode("append").parquet(inbox)
+
+    q = stream_ingest_pages(spark, inbox, idx, ckpt, available_now=True)
+    q.awaitTermination(300)
+    n1 = json.load(open(f"{idx}/stats.json"))["n_docs"]
+    assert n1 > n0
+    # the index is queryable and covers the new docs
+    res = search_index(spark, idx, "car", k=5).collect()
+    assert len(res) == 5
+
+    # replay safety: running the same stream again adds nothing
+    q2 = stream_ingest_pages(spark, inbox, idx, str(tmp_path / "ckpt"), True)
+    q2.awaitTermination(300)
+    n2 = json.load(open(f"{idx}/stats.json"))["n_docs"]
+    assert n2 == n1  # urls already indexed -> anti-join drops them
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(stream, "1 hour", "2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want

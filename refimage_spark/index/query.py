@@ -46,18 +46,52 @@ from refimage_spark.tokenizer import BM25_B, BM25_K1, py_tokens
 K1P1 = BM25_K1 + 1.0
 
 
+# ---- serving caches (mtime-keyed: append/compact/delete invalidate) -------
+
+_CACHE: dict = {}
+
+
+def _mtime(path: str) -> float:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
+def _cached(kind: str, path: str, loader):
+    key = (kind, path, _mtime(path))
+    hit = _CACHE.get(key)
+    if hit is None:
+        _CACHE[key] = hit = loader()
+        # drop stale generations of the same object
+        for k in [k for k in _CACHE if k[:2] == (kind, path) and k != key]:
+            del _CACHE[k]
+    return hit
+
+
 def load_stats(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "stats.json")) as f:
-        return json.load(f)
+    p = os.path.join(index_dir, "stats.json")
+    return _cached("stats", p, lambda: json.load(open(p)))
 
 
 def global_df(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """df lookup for query terms. The whole dictionary is cached while it
+    is serving-sized; a 10^12-doc vocabulary would be memory-mapped or
+    filter-read per query instead (the cold branch below)."""
     if not terms:
         return {}
-    t = pq.read_table(
-        os.path.join(index_dir, "term_stats.parquet"),
-        filters=pc.field("term").isin(terms),
-    )
+    p = os.path.join(index_dir, "term_stats.parquet")
+
+    def load():
+        t = pq.read_table(p)
+        if t.num_rows > 2_000_000:
+            return None  # too big to pin — fall back to filtered reads
+        return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
+    full = _cached("term_stats", p, load)
+    if full is not None:
+        return {t: full[t] for t in terms if t in full}
+    t = pq.read_table(p, filters=pc.field("term").isin(terms))
     return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
 
@@ -298,6 +332,48 @@ def wand_topk_segment(
 RESULT_SCHEMA = "doc_id long, score double"
 
 
+def _reader(index_dir: str, pid: int) -> SegmentReader:
+    """Serving cache: readers (and their lazily-loaded norms) keyed by the
+    segment file's mtime, so compaction invalidates naturally."""
+    from refimage_spark.index.segment import seg_paths
+
+    post_path = seg_paths(index_dir, pid)[0]
+    return _cached(
+        "reader", post_path, lambda: SegmentReader(index_dir, int(pid))
+    )
+
+
+def _segment_topk(
+    index_dir: str,
+    pid: int,
+    node: dsl.Node,
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    threshold: float,
+    wand: bool,
+    tomb: np.ndarray | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One segment's exact top-k — the shared kernel for both the Spark
+    and the local serving path (rank-identical by construction)."""
+    reader = _reader(index_dir, int(pid))
+    if wand:
+        return wand_topk_segment(
+            reader,
+            py_tokens(node.text),
+            idfs,
+            avgdl,
+            k,
+            weight=node.weight,
+            threshold=threshold,
+        )
+    ids, sc = eval_node(reader, node, idfs, avgdl, threshold)
+    if tomb is not None and ids.size:
+        m = ~np.isin(ids, tomb)  # BEFORE topk: a tombstone
+        ids, sc = ids[m], sc[m]  # must free its top-k slot
+    return topk_arrays(ids, sc, k)
+
+
 def search_index(
     spark: SparkSession,
     index_dir: str,
@@ -305,41 +381,69 @@ def search_index(
     k: int = 10,
     threshold: float = 0.0,
     use_wand: bool | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
-    """Distributed top-k: one row per surviving candidate, globally ranked."""
+    """Top-k over the segment index, globally ranked.
+
+    mode:
+    - "spark": one task per segment batch, TakeOrdered merge — the
+      cluster path (segments on shared storage, 10^4+ of them).
+    - "local": the SERVING path — the driver process evaluates segments
+      with the same kernels on a thread pool sized by the session's
+      parallelism (numpy/pyarrow release the GIL). Spark job dispatch
+      costs ~0.5 s/query; a search serving tier reads the segment files
+      directly, exactly like this. Results are rank-identical.
+    - "auto": local while the segment count is serving-sized (<=64),
+      spark beyond.
+    """
     node = dsl.parse(query)
     stats = load_stats(index_dir)
     avgdl = float(stats["avgdl"])
     terms = list(dict.fromkeys(collect_terms(node)))
     idfs = make_idfs(index_dir, terms)
-    pids = sorted(r["partition_id"] for r in read_manifest(index_dir))
+    manifest = _cached(
+        "manifest",
+        os.path.join(index_dir, "manifest"),
+        lambda: read_manifest(index_dir),
+    )
+    pids = sorted(r["partition_id"] for r in manifest)
     tomb = _load_tombstones(index_dir)
     # WAND prunes docs before scoring, so it can't see tombstones that
     # would free top-k slots — fall back to the exact full-eval path then.
     is_pure_text = isinstance(node, dsl.TextQuery) and tomb is None
     wand = is_pure_text if use_wand is None else (use_wand and is_pure_text)
     idx_dir = index_dir
+    if mode == "auto":
+        mode = "local" if len(pids) <= 64 else "spark"
+
+    if mode == "local":
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = min(len(pids), spark.sparkContext.defaultParallelism)
+        # threaded serving uses the VECTORIZED scorer: numpy/pyarrow release
+        # the GIL, so it parallelizes; WAND's document-at-a-time Python loop
+        # would serialize on the GIL across threads (measured 2x slower).
+        with ThreadPoolExecutor(max_workers=max(pool, 1)) as ex:
+            parts = list(
+                ex.map(
+                    lambda p: _segment_topk(
+                        idx_dir, p, node, idfs, avgdl, k, threshold, False, tomb
+                    ),
+                    pids,
+                )
+            )
+        ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
+        ids, sc = topk_arrays(ids, sc, k)
+        rows = [(int(d), float(s)) for d, s in zip(ids, sc)]
+        return spark.createDataFrame(rows, RESULT_SCHEMA)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             for pid in rb.column("pid").to_pylist():
-                reader = SegmentReader(idx_dir, int(pid))
-                if wand:
-                    ids, sc = wand_topk_segment(
-                        reader,
-                        py_tokens(node.text),
-                        idfs,
-                        avgdl,
-                        k,
-                        weight=node.weight,
-                        threshold=threshold,
-                    )
-                else:
-                    ids, sc = eval_node(reader, node, idfs, avgdl, threshold)
-                    if tomb is not None and ids.size:
-                        m = ~np.isin(ids, tomb)  # BEFORE topk: a tombstone
-                        ids, sc = ids[m], sc[m]  # must free its top-k slot
-                    ids, sc = topk_arrays(ids, sc, k)
+                ids, sc = _segment_topk(
+                    idx_dir, pid, node, idfs, avgdl, k, threshold, wand, tomb
+                )
                 if ids.size:
                     yield pa.record_batch(
                         [pa.array(ids, pa.int64()), pa.array(sc, pa.float64())],

@@ -280,13 +280,27 @@ class SegmentWriter:
 
 
 class SegmentReader:
+    # pin the whole term dictionary in memory while it's serving-sized;
+    # beyond this, per-query filtered reads (row-group pruned on the
+    # sorted term column) keep memory bounded
+    DICT_PIN_LIMIT = 500_000
+
     def __init__(self, index_dir: str, pid: int):
         self.post_path, self.dict_path, self.docs_path = seg_paths(index_dir, pid)
         self._norms: tuple[np.ndarray, np.ndarray, list[str]] | None = None
+        self._dict: dict[str, dict] | None = None
 
     def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
         if not terms:  # e.g. no query term exists in the corpus vocabulary
             return {}
+        if self._dict is None:
+            full = pq.read_table(self.dict_path)
+            if full.num_rows <= self.DICT_PIN_LIMIT:
+                self._dict = {r["term"]: r for r in full.to_pylist()}
+            else:
+                self._dict = {}  # sentinel: too big, use filtered reads
+        if self._dict:
+            return {t: self._dict[t] for t in terms if t in self._dict}
         t = pq.read_table(
             self.dict_path, filters=pc.field("term").isin(terms)
         )

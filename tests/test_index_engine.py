@@ -142,3 +142,12 @@ def test_build_deterministic_across_parallelism(spark, tmp_path):
     ma = {r["segment_id"]: r["checksum"] for r in read_manifest(a)}
     mb = {r["segment_id"]: r["checksum"] for r in read_manifest(b)}
     assert ma == mb
+
+
+def test_local_mode_equals_spark_mode(spark, index_dir):
+    for q in ["red car", "beach sunset NOT person", "#en", "car"]:
+        loc = search_index(spark, index_dir, q, k=10, mode="local").collect()
+        dist = search_index(spark, index_dir, q, k=10, mode="spark").collect()
+        assert [r.doc_id for r in loc] == [r.doc_id for r in dist], q
+        for a, b in zip(loc, dist):  # scorers associate floats differently
+            assert a.score == pytest.approx(b.score, rel=1e-12), q

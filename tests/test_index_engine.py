@@ -151,3 +151,12 @@ def test_local_mode_equals_spark_mode(spark, index_dir):
         assert [r.doc_id for r in loc] == [r.doc_id for r in dist], q
         for a, b in zip(loc, dist):  # scorers associate floats differently
             assert a.score == pytest.approx(b.score, rel=1e-12), q
+
+
+def test_index_stats(spark, index_dir):
+    from refimage_spark.index.query import index_stats
+
+    st = index_stats(index_dir)
+    assert st["n_segments"] == N_PARTS
+    assert st["n_docs"] > 0 and st["n_postings"] > 0 and st["post_bytes"] > 0
+    assert st["tokenizer"] == "lower-split-[^a-z0-9]+"

@@ -39,3 +39,19 @@ def test_hydrate_equals_point_lookups(spark, documents):
     out = M.hydrate(top, documents, keep=["lang", "n_chars"]).collect()
     assert len(out) == 5
     assert set(out[0].asDict()) == {"doc_id", "lang", "n_chars", "score"}
+
+
+def test_parse_tags(spark):
+    df = spark.createDataFrame([("a, b ,,c ",), ("",)], ["raw"])
+    got = [r.tags for r in df.select(M.parse_tags("raw").alias("tags")).collect()]
+    assert got == [["a", "b", "c"], []]
+
+
+def test_doc_terms_forward_lookup(spark, documents):
+    import collections
+    from refimage_spark.tokenizer import py_tokens
+
+    row = documents.where("doc_id = 7").head()
+    want = collections.Counter(py_tokens(row.text))
+    got = {r.term: r.tf for r in M.doc_terms(documents, 7).collect()}
+    assert got == dict(want)

@@ -156,6 +156,81 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     return {"compacted": int(tomb.size), "segments": len(pids)}
 
 
+def merge_segments(
+    index_dir: str, pids: list[int], new_pid: int | None = None
+) -> dict:
+    """Log-structured merge: combine several (small) segments into one.
+
+    Doc sets are disjoint, so per-term posting lists merge by doc-id
+    sort; global stats/df are unchanged — queries return identical
+    results before and after (asserted in tests). Maintenance-window
+    operation (single writer): new segment files are written first, the
+    manifest rows swap last.
+
+    At 10^12 docs this runs as one task per OUTPUT segment (each input
+    term dictionary is term-sorted, so a real implementation streams a
+    k-way heap merge; here the per-term python loop is fine at segment
+    sizes the sandbox produces).
+    """
+    import glob as _glob
+
+    assert len(pids) >= 2
+    manifest = {r["partition_id"]: r for r in read_manifest(index_dir)}
+    for p in pids:
+        assert p in manifest, f"segment {p} not in manifest"
+    if new_pid is None:
+        new_pid = max(manifest) + 1
+    readers = [SegmentReader(index_dir, p) for p in pids]
+    dicts = [
+        {r["term"]: r for r in pq.read_table(rd.dict_path).to_pylist()}
+        for rd in readers
+    ]
+    writer = SegmentWriter(index_dir, new_pid, 0.0)
+    # merged norms (doc-id sorted; ids are disjoint across segments)
+    nid, ndl, nlang = [], [], []
+    for rd in readers:
+        ids, dls, langs = rd.norms()
+        nid.append(ids)
+        ndl.append(dls)
+        nlang.extend(langs)
+    nid_all = np.concatenate(nid)
+    order = np.argsort(nid_all)
+    writer.set_norms(
+        nid_all[order],
+        np.concatenate(ndl)[order],
+        [nlang[i] for i in order],
+    )
+    # k-way term merge: union of term-sorted dictionaries
+    all_terms = sorted(set().union(*[d.keys() for d in dicts]))
+    for term in all_terms:
+        docs_l, tfs_l = [], []
+        for rd, d in zip(readers, dicts):
+            if term in d:
+                dd, tt = rd.read_postings(d[term])
+                docs_l.append(dd)
+                tfs_l.append(tt)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        o = np.argsort(docs)
+        raw = np.repeat(docs[o], tfs[o])  # writer recounts tf from runs
+        writer.add_raw(
+            pa.array(np.full(raw.size, term, dtype=object), pa.string()), raw
+        )
+    st = writer.finish()
+    write_manifest_row(index_dir, st, {"merged_from": pids})
+    # swap: drop the old manifest rows, then the old files
+    for p in pids:
+        os.remove(os.path.join(index_dir, "manifest", f"part-{p:05d}.json"))
+        for f in _glob.glob(os.path.join(index_dir, "segments", f"seg-{p:05d}.*")):
+            os.remove(f)
+    return {
+        "merged": pids,
+        "new_pid": new_pid,
+        "n_docs": st.n_docs,
+        "n_postings": st.n_postings,
+    }
+
+
 def append_pages(
     spark: SparkSession, new_pages: DataFrame, index_dir: str
 ) -> dict:

@@ -76,3 +76,30 @@ def test_wand_rank_safe_after_stats_drift(spark, small_index):
     assert [r.doc_id for r in wand] == [r.doc_id for r in full]
     for a, b in zip(wand, full):
         assert a.score == pytest.approx(b.score, rel=1e-12)
+
+
+def test_merge_segments_preserves_results(spark, small_index):
+    # grow the index twice -> many small appended segments
+    append_pages(spark, generate_pages(spark, 120, seed=51, partitions=1),
+                 small_index)
+    append_pages(spark, generate_pages(spark, 120, seed=52, partitions=1),
+                 small_index)
+    from refimage_spark.index.merge import merge_segments
+
+    manifest = read_manifest(small_index)
+    pids = sorted(r["partition_id"] for r in manifest)
+    appended = [p for p in pids if p >= 4][:6]  # the small appended ones
+    assert len(appended) >= 2
+    before = {
+        q: [(r.doc_id, r.score) for r in
+            search_index(spark, small_index, q, k=20).collect()]
+        for q in ["red car", "beach sunset NOT person", "car"]
+    }
+    out = merge_segments(small_index, appended)
+    assert out["merged"] == appended
+    after_manifest = read_manifest(small_index)
+    assert len(after_manifest) == len(manifest) - len(appended) + 1
+    for q, want in before.items():
+        got = [(r.doc_id, r.score) for r in
+               search_index(spark, small_index, q, k=20).collect()]
+        assert got == want, q

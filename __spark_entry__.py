@@ -104,7 +104,9 @@ _INDEX_CACHE: dict[str, str] = {}
 
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir/process) a real segment index over the
-    documents table; urls encode the original doc_id for mapping back."""
+    documents table; urls encode the original doc_id for mapping back.
+    tag_cols=(lang, source) so segment-engine tag queries carry the SAME
+    tag vocabulary as the DataFrame compiler (tags := {lang, source})."""
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
     import tempfile
@@ -116,10 +118,49 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         F.encode("text", "utf-8").alias("html"),
         "text",
         "lang",
+        "source",
     )
-    build_index(spark, pages, d, num_parts=8, content_dedup=False)
+    build_index(
+        spark, pages, d, num_parts=8, content_dedup=False,
+        tag_cols=("lang", "source"),
+    )
     _INDEX_CACHE[sf_dir] = d
     return d
+
+
+_ANN_CACHE: dict[str, str] = {}
+
+
+def _ensure_ann(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir/process) the PERSISTED ANN indexes: LSH
+    bucket table partitionBy(bucket) + IVF cell table partitionBy(cell)
+    with its one-time-trained quantizer — queries prune partitions."""
+    if sf_dir in _ANN_CACHE:
+        return _ANN_CACHE[sf_dir]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="refimage_ann_")
+    emb = _emb(spark, sf_dir)
+    SIM.build_lsh_index(emb, d, dim=64)
+    SIM.build_ivf_index(emb, d)
+    _ANN_CACHE[sf_dir] = d
+    return d
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    qv = _emb(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return [float(x) for x in qv]
+
+
+_TS_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _ts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic warc_ts (epoch + doc_id seconds) —
+    the derivation the DuckDB oracle mirrors exactly."""
+    return _docs(spark, sf_dir).withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id"))
+    )
 
 
 def _index_search(
@@ -175,6 +216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- the real segment engine (index build + WAND / boolean eval) ---
     q["index_bm25_topk"] = lambda s, d: _index_search(s, d, "spark join window")
     q["index_dsl_not"] = lambda s, d: _index_search(s, d, "table scan NOT slow")
+    q["index_dsl_tag"] = lambda s, d: _index_search(s, d, "#en #fr", k=1000)
+    q["index_text_tag"] = lambda s, d: _index_search(s, d, "fast query #en")
     # --- metadata table ops (SURVEY §2.1/§2.2: S2, S3, P1-P5, W4, W5) ---
     q["point_lookup"] = lambda s, d: M.point_lookup(_docs(s, d), 42)
     q["doc_terms"] = lambda s, d: M.doc_terms(_docs(s, d), 42)
@@ -183,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["metadata_tag_filter"] = lambda s, d: M.list_documents(
         _docs(s, d), limit=50, tags_filter=["en", "src3"], sort_by="doc_id"
+    )
+    q["metadata_page_by_ts"] = lambda s, d: M.list_documents(
+        _ts_docs(s, d), limit=15, offset=5, sort_by="warc_ts", sort_order="desc"
     )
     q["hydrate_topk"] = lambda s, d: M.hydrate(
         _r4(bm25_topk(_corpus(s, d), "spark join window", k=10)),
@@ -235,26 +281,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_cosine_topk"] = _cos_topk
 
     def _ann(s: SparkSession, d: str) -> DataFrame:
-        emb = _emb(s, d)
-        qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-        return SIM.lsh_topk(emb, [float(x) for x in qv], dim=len(qv), k=10).select(
+        idx = _ensure_ann(s, d)
+        return SIM.lsh_topk(s, idx, _query_vec(s, d), k=10).select(
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
-    q["ann_lsh_topk"] = _ann  # approximate: rows-only check
+    # persisted partition-pruned LSH index; oracle recomputes the bucket
+    # from the same seed-pinned hyperplanes inlined as SQL literals
+    q["ann_lsh_topk"] = _ann
 
     def _ann_ivf(s: SparkSession, d: str) -> DataFrame:
-        emb = _emb(s, d)
-        qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-        return SIM.ivf_topk(emb, [float(x) for x in qv], k=10).select(
+        idx = _ensure_ann(s, d)
+        return SIM.ivf_topk(s, idx, _query_vec(s, d), k=10).select(
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
-    q["ann_ivf_topk"] = _ann_ivf  # approximate: rows-only check
+    q["ann_ivf_topk"] = _ann_ivf  # k-means quantizer: rows-only check
+
+    def _ann_recall(s: SparkSession, d: str) -> DataFrame:
+        idx = _ensure_ann(s, d)
+        return SIM.ann_recall(s, _emb(s, d), idx, _query_vec(s, d), k=10)
+
+    q["ann_recall"] = _ann_recall  # quality gate vs exact topk: rows-only
     # --- multimodal plumbing (binary column -> Arrow feature extraction) ---
     q["multimodal_features"] = lambda s, d: MM.extract_features(
         _docs(s, d).select("doc_id", F.encode("text", "utf-8").alias("raw")), "raw"
-    )  # hash-seeded fake decode: rows-only check
+    ).select("doc_id", "content_md5", "feature_norm")
     # --- events: windowed / sessionized / running aggregations ---
     q["events_windowed_agg"] = lambda s, d: EV.tumbling_agg(_events(s, d))
     q["events_sessionize"] = lambda s, d: EV.sessionize(_events(s, d))
@@ -326,6 +378,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["index_bm25_topk"] = o["bm25_topk"]  # same semantics, real index engine
     o["index_dsl_not"] = o["dsl_not"]
+    o["index_dsl_tag"] = o["dsl_tag_any"]
+    o["index_text_tag"] = o["dsl_text_tag"]
     o["point_lookup"] = "SELECT * FROM documents WHERE doc_id = 42"
     o["doc_terms"] = (
         f"{_PREFIX} SELECT term, cast(count(*) AS bigint) AS tf "
@@ -337,6 +391,11 @@ def oracle_sql() -> dict[str, str]:
     o["metadata_tag_filter"] = (
         "SELECT * FROM documents WHERE lower(lang) IN ('en','src3') "
         "OR lower(source) IN ('en','src3') ORDER BY doc_id ASC LIMIT 50"
+    )
+    o["metadata_page_by_ts"] = (
+        "SELECT *, cast(to_timestamp(1704067200 + doc_id) AS timestamp) "
+        "AS warc_ts FROM documents "
+        "ORDER BY warc_ts DESC, doc_id ASC LIMIT 15 OFFSET 5"
     )
     o["hydrate_topk"] = (
         f"{_PREFIX}, tk AS (SELECT doc_id, round(score,4) AS score FROM "
@@ -464,6 +523,40 @@ def oracle_sql() -> dict[str, str]:
     WHERE round(list_sum([a.emb[i] * b.emb[i] for i in range(1, len(a.emb) + 1)])
         / (sqrt(list_sum([x * x for x in a.emb]))
            * sqrt(list_sum([x * x for x in b.emb]))), 6) >= 0.9"""
+    # ann_lsh_topk: the seed-pinned hyperplanes inlined as SQL literals —
+    # DuckDB recomputes every row's sign-LSH bucket, the query bucket,
+    # prunes to hamming<=2, then exact cosine top-k (the same plan the
+    # Spark side executes against the persisted partitioned index)
+    from refimage_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, 42)
+    plane_rows = ", ".join(
+        f"({j}, [{','.join(repr(float(x)) for x in planes[j])}])"
+        for j in range(8)
+    )
+    o["ann_lsh_topk"] = f"""WITH e AS (
+      SELECT vec_id, [cast(x AS double) for x in embedding] AS emb
+      FROM embeddings),
+    planes AS (SELECT * FROM (VALUES {plane_rows}) t(j, p)),
+    b AS (SELECT vec_id, emb,
+      sum(CASE WHEN list_sum([emb[i] * p[i] for i in range(1, len(p) + 1)]) > 0
+          THEN cast(1 AS bigint) << j ELSE 0 END) AS bucket
+      FROM e CROSS JOIN planes GROUP BY vec_id, emb),
+    qb AS (SELECT bucket AS q FROM b WHERE vec_id = 0),
+    qv AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+    cand AS (SELECT b.vec_id, b.emb FROM b CROSS JOIN qb
+      WHERE bit_count(xor(cast(b.bucket AS bigint), cast(qb.q AS bigint))) <= 2),
+    s AS (SELECT vec_id,
+      round(list_sum([emb[i] * qv.qe[i] for i in range(1, len(emb) + 1)])
+        / (sqrt(list_sum([x * x for x in emb]))
+           * sqrt(list_sum([x * x for x in qv.qe]))), 6) AS cos6
+      FROM cand CROSS JOIN qv)
+    SELECT vec_id, round(cos6, 4) AS cos FROM s
+    ORDER BY cos6 DESC, vec_id ASC LIMIT 10"""
+    o["multimodal_features"] = (
+        "SELECT doc_id, md5(text) AS content_md5, "
+        "cast(1.0 AS double) AS feature_norm FROM documents"
+    )
     o["embedding_cosine_topk"] = """WITH q AS (
       SELECT [cast(x AS double) for x in embedding] AS qe
       FROM embeddings WHERE vec_id = 0),

@@ -110,7 +110,17 @@ def assign_doc_ids(pages: DataFrame, num_parts: int) -> DataFrame:
     return _with_doc_ids(with_part, counts, num_parts)
 
 
-def _dedup_slim(pages: DataFrame, content_dedup: bool = True) -> DataFrame:
+def _tags_col(tag_cols: tuple[str, ...]):
+    """The doc's tag set = its tag-column values (raw; matching lowers),
+    mirroring the DataFrame compiler's tags := {lang, source, ...}."""
+    return F.array(*[F.col(c) for c in tag_cols])
+
+
+def _dedup_slim(
+    pages: DataFrame,
+    content_dedup: bool = True,
+    tag_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
     """url-dedup (keep latest warc_ts — recrawl wins, matching the
     reference's UNIQUE-hash ingest semantics src/refimage/storage.py:278-281)
     + optional content-hash dedup (keep smallest url).
@@ -121,7 +131,7 @@ def _dedup_slim(pages: DataFrame, content_dedup: bool = True) -> DataFrame:
     slim = pages.select(
         "url",
         "warc_ts",
-        "lang",
+        *tag_cols,
         "text",
         F.sha2("html", 256).alias("content_hash"),
     )
@@ -141,13 +151,16 @@ def _dedup_slim(pages: DataFrame, content_dedup: bool = True) -> DataFrame:
     return deduped
 
 
-def _assign_and_project(deduped: DataFrame, num_parts: int) -> DataFrame:
+def _assign_and_project(
+    deduped: DataFrame, num_parts: int, tag_cols: tuple[str, ...] = ("lang",)
+) -> DataFrame:
     toks = spark_tokens("text")
     return assign_doc_ids(deduped, num_parts).select(
         "doc_id",
         "part",
         "url",
-        "lang",
+        *tag_cols,
+        _tags_col(tag_cols).alias("tags"),
         "text",
         F.size(toks).alias("dl"),
         "content_hash",
@@ -155,11 +168,16 @@ def _assign_and_project(deduped: DataFrame, num_parts: int) -> DataFrame:
 
 
 def prepare_docs(
-    pages: DataFrame, num_parts: int, content_dedup: bool = True
+    pages: DataFrame,
+    num_parts: int,
+    content_dedup: bool = True,
+    tag_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
     """dedup + deterministic id assignment (un-persisted form; build_index
     persists the intermediate to avoid running the dedup twice)."""
-    return _assign_and_project(_dedup_slim(pages, content_dedup), num_parts)
+    return _assign_and_project(
+        _dedup_slim(pages, content_dedup, tag_cols), num_parts, tag_cols
+    )
 
 
 def build_index(
@@ -168,6 +186,7 @@ def build_index(
     index_dir: str,
     num_parts: int = 16,
     content_dedup: bool = True,
+    tag_cols: tuple[str, ...] = ("lang",),
 ) -> dict:
     """Build (or resume) the index. Returns build metrics."""
     t0 = time.perf_counter()
@@ -182,7 +201,7 @@ def build_index(
         # dedup pipeline runs once, spilling to disk if it outgrows memory
         from pyspark import StorageLevel
 
-        slim = _dedup_slim(pages, content_dedup).persist(
+        slim = _dedup_slim(pages, content_dedup, tag_cols).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         try:
@@ -194,7 +213,8 @@ def build_index(
                 "doc_id",
                 "part",
                 "url",
-                "lang",
+                *tag_cols,
+                _tags_col(tag_cols).alias("tags"),
                 "text",
                 F.size(toks).alias("dl"),
                 "content_hash",
@@ -212,6 +232,7 @@ def build_index(
                     "n_docs": n_total,
                     "avgdl": avgdl_total,
                     "num_parts": num_parts,
+                    "tag_cols": list(tag_cols),
                     "tokenizer": "lower-split-[^a-z0-9]+",
                 },
                 f,
@@ -346,13 +367,13 @@ def _write_segments_for(
                     nt = pq.read_table(
                         docs_path,
                         filters=pc.field("part") == pid,
-                        columns=["doc_id", "dl", "lang"],
+                        columns=["doc_id", "dl", "tags"],
                     ).sort_by("doc_id")
                     writer = SegmentWriter(idx_dir, pid, avgdl)
                     writer.set_norms(
                         nt["doc_id"].to_numpy(),
                         nt["dl"].to_numpy(),
-                        nt["lang"].to_pylist(),
+                        nt["tags"].combine_chunks(),
                     )
                     cur_pid = pid
                     skip_pid = None

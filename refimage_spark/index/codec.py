@@ -99,6 +99,20 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(gaps, dtype=np.int64))
 
 
+def blocked_delta_decode(gaps: np.ndarray, block: int) -> np.ndarray:
+    """Decode gaps that RESET every ``block`` values (the gap at each
+    block start is the absolute doc id). Segmented cumsum, vectorized:
+    docs[i] = cumsum[i] - (cumsum[start-1]) for i's block."""
+    g = np.asarray(gaps, dtype=np.int64)
+    if g.size == 0:
+        return g
+    cs = np.cumsum(g)
+    starts = np.arange(0, g.size, block)
+    base = cs[starts] - g[starts]  # == cs[start-1]; 0 for the first block
+    sizes = np.diff(np.append(starts, g.size))
+    return cs - np.repeat(base, sizes)
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """(docs_blob, tfs_blob): gaps-VB for sorted doc ids, VB for tfs."""
     gaps = delta_encode(doc_ids)

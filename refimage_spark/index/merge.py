@@ -1,5 +1,5 @@
 """Log-structured maintenance: incremental append, tombstone delete,
-segment merge/compaction.
+segment merge/compaction, size-tiered merge policy.
 
 The reference handles deletes by REBUILDING the whole index
 (/root/reference/src/refimage/search/__init__.py:268-320, O(N) per
@@ -14,15 +14,26 @@ delete) and growth by in-memory append with a monolithic save. Here:
   swapped atomically at the end. Posting arrays of disjoint doc sets
   merge by sorted interleave — exactness is preserved because scores
   depend only on (tf, dl, global stats).
+- ``merge_segments``: combine small segments into one. The COMMIT POINT
+  is the merged row's atomic manifest write: it carries ``merged_from``
+  and ``read_manifest`` drops superseded rows, so a crash between the
+  commit and the source-file cleanup never double-serves a doc.
+- ``plan_merges``/``run_merge_policy``: size-tiered policy — streaming
+  appends create many small segments; once a size tier accumulates
+  ``min_merge`` of them they merge into the next tier (cascading), so
+  segment count stays O(log corpus) under continuous ingest.
 
-Scale note: compaction at 10^12 docs runs as a Spark job with one task
-per segment (embarrassingly parallel — doc-partitioned segments never
-interact); BM25 global stats (N, avgdl, df) are recomputed from the
-docs table in one agg pass.
+Scale notes: compaction and policy merges run as Spark jobs with one
+task per OUTPUT segment (embarrassingly parallel — doc-partitioned
+segments never interact). Posting rebuild is 3 vectorized passes over
+the whole segment (``SegmentReader.read_all_postings``) and the writer
+consumes pre-aggregated (term, doc, tf) rows — no per-term Python loop,
+no np.repeat re-expansion of tf runs.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import shutil
@@ -34,7 +45,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from refimage_spark.index.build import STATS_FILE, build_index, prepare_docs
+from refimage_spark.index.build import STATS_FILE, prepare_docs
 from refimage_spark.index.segment import (
     SegmentReader,
     SegmentWriter,
@@ -42,7 +53,6 @@ from refimage_spark.index.segment import (
     seg_paths,
     write_manifest_row,
 )
-from refimage_spark.tokenizer import spark_tokens
 
 TOMBSTONES = "tombstones.parquet"
 
@@ -76,6 +86,30 @@ def _recompute_global_stats(spark: SparkSession, index_dir: str) -> None:
     write_term_stats(spark, index_dir)
 
 
+def _rewrite_segment_filtered(
+    src_dir: str, dst_dir: str, pid: int, drop_ids: np.ndarray, avgdl: float
+) -> "SegmentWriter":
+    """Rewrite one segment without ``drop_ids`` — fully vectorized:
+    decode all postings in 3 passes, boolean-mask, feed the writer
+    pre-aggregated (term, doc, tf) rows (one Arrow take for the terms)."""
+    reader = SegmentReader(src_dir, pid)
+    ids, dls, tags = reader.norms()
+    keep_mask = ~np.isin(ids, drop_ids)
+    writer = SegmentWriter(dst_dir, pid, avgdl)
+    writer.set_norms(
+        ids[keep_mask],
+        dls[keep_mask],
+        tags.take(pa.array(np.flatnonzero(keep_mask))),
+    )
+    terms, term_codes, docs_a, tfs_a = reader.read_all_postings()
+    if docs_a.size:
+        pm = ~np.isin(docs_a, drop_ids)
+        writer.add_raw(
+            terms.take(pa.array(term_codes[pm])), docs_a[pm], tfs_a[pm]
+        )
+    return writer
+
+
 def compact(spark: SparkSession, index_dir: str) -> dict:
     """Drop tombstoned docs physically; rewrite segments + stats.
 
@@ -91,10 +125,13 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
         os.remove(tomb_path)
         return {"compacted": 0}
 
-    # 1. shrink the docs table (source of truth for stats)
+    # 1. shrink the docs table (source of truth for stats) — ANTI-JOIN
+    # against the tombstone table, never an IN-list literal in the plan
+    # (millions of tombstones would otherwise be embedded in the query)
     docs_path = os.path.join(index_dir, "docs.parquet")
     docs = spark.read.parquet(docs_path)
-    kept = docs.where(~F.col("doc_id").isin([int(x) for x in tomb]))
+    tomb_df = spark.read.parquet(tomb_path)
+    kept = docs.join(F.broadcast(tomb_df), "doc_id", "left_anti")
     tmp_docs = docs_path + ".compact"
     kept.write.mode("overwrite").partitionBy("part").parquet(tmp_docs)
     shutil.rmtree(docs_path)
@@ -111,26 +148,9 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     def rewrite(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             for pid in rb.column("pid").to_pylist():
-                reader = SegmentReader(idx, int(pid))
-                dict_all = pq.read_table(reader.dict_path).to_pylist()
-                ids, dls, langs = reader.norms()
-                keep_mask = ~np.isin(ids, tomb_b)
-                writer = SegmentWriter(idx + "/compact_tmp", int(pid), avgdl)
-                writer.set_norms(
-                    ids[keep_mask],
-                    dls[keep_mask],
-                    [l for l, m in zip(langs, keep_mask) if m],
+                writer = _rewrite_segment_filtered(
+                    idx, idx + "/compact_tmp", int(pid), tomb_b, avgdl
                 )
-                for entry in dict_all:  # dict is term-sorted
-                    docs_a, tfs_a = reader.read_postings(entry)
-                    m = ~np.isin(docs_a, tomb_b)
-                    if not m.any():
-                        continue
-                    d, t = docs_a[m], tfs_a[m]
-                    raw = np.repeat(d, t)  # writer recounts tf from runs
-                    writer.add_raw(
-                        np.full(raw.size, entry["term"], dtype=object), raw
-                    )
                 st = writer.finish()
                 write_manifest_row(idx + "/compact_tmp", st, {"avgdl": avgdl})
                 yield pa.record_batch(
@@ -163,17 +183,20 @@ def merge_segments(
 
     Doc sets are disjoint, so per-term posting lists merge by doc-id
     sort; global stats/df are unchanged — queries return identical
-    results before and after (asserted in tests). Maintenance-window
-    operation (single writer): new segment files are written first, the
-    manifest rows swap last.
+    results before and after (asserted in tests).
 
-    At 10^12 docs this runs as one task per OUTPUT segment (each input
-    term dictionary is term-sorted, so a real implementation streams a
-    k-way heap merge; here the per-term python loop is fine at segment
-    sizes the sandbox produces).
+    COMMIT PROTOCOL: the new segment's files land first (fsync+rename),
+    then ITS manifest row (carrying ``merged_from``) lands atomically —
+    that row is the single commit point. ``read_manifest`` treats any
+    pid listed in a ``merged_from`` as superseded, so a crash after the
+    commit but before the source rows/files are removed leaves a
+    correct, query-identical index (stale files are garbage, not data).
+
+    Posting rebuild is vectorized: each input decodes in 3 passes
+    (read_all_postings), term strings map to a sorted union vocabulary
+    via searchsorted, and one global lexsort by (term_code, doc_id)
+    orders the combined stream for the writer.
     """
-    import glob as _glob
-
     assert len(pids) >= 2
     manifest = {r["partition_id"]: r for r in read_manifest(index_dir)}
     for p in pids:
@@ -181,44 +204,51 @@ def merge_segments(
     if new_pid is None:
         new_pid = max(manifest) + 1
     readers = [SegmentReader(index_dir, p) for p in pids]
-    dicts = [
-        {r["term"]: r for r in pq.read_table(rd.dict_path).to_pylist()}
-        for rd in readers
-    ]
-    writer = SegmentWriter(index_dir, new_pid, 0.0)
+    avgdl = manifest[pids[0]].get("avgdl", 0.0)
+    writer = SegmentWriter(index_dir, new_pid, avgdl)
     # merged norms (doc-id sorted; ids are disjoint across segments)
-    nid, ndl, nlang = [], [], []
+    nid, ndl, ntags = [], [], []
     for rd in readers:
-        ids, dls, langs = rd.norms()
+        ids, dls, tags = rd.norms()
         nid.append(ids)
         ndl.append(dls)
-        nlang.extend(langs)
+        ntags.append(tags)
     nid_all = np.concatenate(nid)
     order = np.argsort(nid_all)
-    writer.set_norms(
-        nid_all[order],
-        np.concatenate(ndl)[order],
-        [nlang[i] for i in order],
-    )
-    # k-way term merge: union of term-sorted dictionaries
-    all_terms = sorted(set().union(*[d.keys() for d in dicts]))
-    for term in all_terms:
-        docs_l, tfs_l = [], []
-        for rd, d in zip(readers, dicts):
-            if term in d:
-                dd, tt = rd.read_postings(d[term])
-                docs_l.append(dd)
-                tfs_l.append(tt)
-        docs = np.concatenate(docs_l)
-        tfs = np.concatenate(tfs_l)
-        o = np.argsort(docs)
-        raw = np.repeat(docs[o], tfs[o])  # writer recounts tf from runs
-        writer.add_raw(
-            pa.array(np.full(raw.size, term, dtype=object), pa.string()), raw
-        )
+    tags_all = pa.concat_arrays(
+        [t.cast(pa.list_(pa.string())) for t in ntags]
+    ).take(pa.array(order))
+    writer.set_norms(nid_all[order], np.concatenate(ndl)[order], tags_all)
+    # vectorized k-way posting merge via a union vocabulary
+    import pyarrow.compute as pc
+
+    parts = [rd.read_all_postings() for rd in readers]
+    vocab = sorted(
+        set().union(*[set(p[0].to_pylist()) for p in parts])
+    )  # vocab-sized python, not posting-sized
+    vocab_pa = pa.array(vocab, pa.string())
+    code_l, doc_l, tf_l = [], [], []
+    for terms, term_codes, docs_a, tfs_a in parts:
+        if docs_a.size == 0:
+            continue
+        local_to_union = pc.index_in(terms, value_set=vocab_pa).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        code_l.append(local_to_union[term_codes])
+        doc_l.append(docs_a)
+        tf_l.append(tfs_a)
+    if code_l:
+        codes = np.concatenate(code_l)
+        docs_a = np.concatenate(doc_l)
+        tfs_a = np.concatenate(tf_l)
+        o = np.lexsort((docs_a, codes))
+        writer.add_raw(vocab_pa.take(pa.array(codes[o])), docs_a[o], tfs_a[o])
     st = writer.finish()
-    write_manifest_row(index_dir, st, {"merged_from": pids})
-    # swap: drop the old manifest rows, then the old files
+    # COMMIT: one atomic manifest-row write supersedes the sources
+    write_manifest_row(
+        index_dir, st, {"avgdl": avgdl, "merged_from": [int(p) for p in pids]}
+    )
+    # cleanup (safe to crash anywhere in here — sources are superseded)
     for p in pids:
         os.remove(os.path.join(index_dir, "manifest", f"part-{p:05d}.json"))
         for f in _glob.glob(os.path.join(index_dir, "segments", f"seg-{p:05d}.*")):
@@ -229,6 +259,80 @@ def merge_segments(
         "n_docs": st.n_docs,
         "n_postings": st.n_postings,
     }
+
+
+def plan_merges(
+    index_dir: str,
+    tier_factor: float = 4.0,
+    min_merge: int = 4,
+    max_merge: int = 16,
+    floor_bytes: int = 1 << 16,
+) -> list[list[int]]:
+    """Size-tiered merge plan: segments land in tiers by
+    log_{tier_factor}(bytes); any tier holding >= min_merge segments
+    yields one merge of its smallest <= max_merge members. Disjoint
+    groups — safe to execute in parallel (one task per output segment)."""
+    rows = read_manifest(index_dir)
+    tiers: dict[int, list[dict]] = {}
+    for r in rows:
+        t = int(np.log(max(r["bytes"], floor_bytes)) / np.log(tier_factor))
+        tiers.setdefault(t, []).append(r)
+    plans = []
+    for t in sorted(tiers):
+        group = sorted(tiers[t], key=lambda r: r["bytes"])
+        if len(group) >= min_merge:
+            plans.append([r["partition_id"] for r in group[:max_merge]])
+    return plans
+
+
+def run_merge_policy(
+    index_dir: str,
+    spark: SparkSession | None = None,
+    tier_factor: float = 4.0,
+    min_merge: int = 4,
+    max_merge: int = 16,
+    max_rounds: int = 10,
+) -> dict:
+    """Apply the size-tiered policy until no tier overflows (merged
+    outputs may cascade into a higher tier that then overflows).
+
+    With ``spark``, each round's (disjoint) merge groups run as one
+    Spark job, one task per output segment; without, they run serially
+    on the driver. Query results are identical before/after (stats and
+    df never change under merge)."""
+    merged_total: list[list[int]] = []
+    for _ in range(max_rounds):
+        plans = plan_merges(index_dir, tier_factor, min_merge, max_merge)
+        if not plans:
+            break
+        if spark is not None and len(plans) > 1:
+            idx = index_dir
+            plan_json = [json.dumps(p) for p in plans]
+
+            def do_merge(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+                for rb in batches:
+                    for blob, npid in zip(
+                        rb.column("plan").to_pylist(),
+                        rb.column("new_pid").to_pylist(),
+                    ):
+                        merge_segments(idx, json.loads(blob), new_pid=int(npid))
+                        yield pa.record_batch(
+                            [pa.array([blob], pa.string())], names=["plan"]
+                        )
+
+            # pre-assign output pids on the driver (executors must not race
+            # on max(manifest)+1)
+            base = max(r["partition_id"] for r in read_manifest(idx)) + 1
+            rows = [(pj, base + i) for i, pj in enumerate(plan_json)]
+            df = spark.createDataFrame(rows, "plan string, new_pid int")
+            df.repartition(len(rows)).mapInArrow(
+                do_merge, schema="plan string"
+            ).collect()
+        else:
+            for p in plans:
+                merge_segments(index_dir, p)
+        merged_total.extend(plans)
+    return {"rounds": len(merged_total), "merged_groups": merged_total}
 
 
 def append_pages(
@@ -243,6 +347,7 @@ def append_pages(
     """
     stats = json.loads(open(os.path.join(index_dir, STATS_FILE)).read())
     num_parts = stats["num_parts"]
+    tag_cols = tuple(stats.get("tag_cols", ["lang"]))
     docs_path = os.path.join(index_dir, "docs.parquet")
     old_docs = spark.read.parquet(docs_path)
     base_id = old_docs.agg(F.max("doc_id")).head()[0] + 1
@@ -252,7 +357,9 @@ def append_pages(
     fresh = new_pages.join(
         old_docs.select("url"), "url", "left_anti"
     )
-    new_docs = prepare_docs(fresh, num_parts, content_dedup=True).withColumn(
+    new_docs = prepare_docs(
+        fresh, num_parts, content_dedup=True, tag_cols=tag_cols
+    ).withColumn(
         "doc_id", (F.col("doc_id") + F.lit(int(base_id))).cast("long")
     ).withColumn("part", (F.col("part") + F.lit(int(base_pid))).cast("int"))
     new_docs.write.mode("append").partitionBy("part").parquet(docs_path)

@@ -29,7 +29,6 @@ from __future__ import annotations
 import heapq
 import json
 import os
-from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -40,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from refimage_spark import dsl
+from refimage_spark.index.codec import varbyte_decode
 from refimage_spark.index.segment import SegmentReader, read_manifest
 from refimage_spark.tokenizer import BM25_B, BM25_K1, py_tokens
 
@@ -165,14 +165,17 @@ def eval_node(
             ids, sc = ids[m], sc[m]
         return ids, sc
     if isinstance(node, dsl.TagFilter):
-        dids, _, langs = reader.norms()
-        want = {t for t in node.tags}
-        lg = np.array([l.lower() for l in langs])
-        if node.mode == "all" and len(want) > 1:
-            # a doc's tag set here is {lang}; >1 required tags can't all match
+        # full tag set per doc (lang + source + ...), matching the
+        # DataFrame compiler's any=overlap / all=containment semantics
+        sets = [reader.tag_ids(t) for t in node.tags]
+        if not sets:
             return empty
-        m = np.isin(lg, list(want))
-        ids = dids[m]
+        if node.mode == "all":
+            ids = sets[0]
+            for s in sets[1:]:
+                ids = np.intersect1d(ids, s, assume_unique=True)
+        else:
+            ids = np.unique(np.concatenate(sets))
         return ids, np.zeros(ids.size, dtype=np.float64)
     if isinstance(node, dsl.And):
         ids, sc = eval_node(reader, node.children[0], idfs, avgdl, threshold)
@@ -209,30 +212,91 @@ def topk_arrays(ids: np.ndarray, sc: np.ndarray, k: int):
 # ---- block-max WAND (document-at-a-time) --------------------------------------
 
 
-@dataclass
+_SENTINEL = 1 << 62
+
+
 class _Cursor:
-    docs: np.ndarray
-    tfs: np.ndarray
-    block_last: np.ndarray
-    block_maxq: np.ndarray  # per-block q upper bound, CURRENT-stats valid
-    idf_w: float  # weight * idf * (k1+1)
-    pos: int = 0
+    """Block-lazy posting cursor: holds the term's RAW encoded regions
+    (one sequential read each) and decodes a 128-posting block only when
+    the WAND loop actually lands on it — blocks skipped by seek() or
+    pruned by the block-max bound are never decoded (gap resets at block
+    boundaries make each block self-contained)."""
+
+    __slots__ = (
+        "docs_blob", "tfs_blob", "block_last", "block_maxq", "dboff",
+        "tboff", "idf_w", "bi", "li", "bdocs", "btfs", "decoded_blocks",
+    )
+
+    def __init__(self, docs_blob, tfs_blob, block_last, block_maxq,
+                 dboff, tboff, idf_w):
+        self.docs_blob = docs_blob
+        self.tfs_blob = tfs_blob
+        self.block_last = block_last
+        self.block_maxq = block_maxq
+        self.dboff = dboff.astype(np.int64)
+        self.tboff = tboff.astype(np.int64)
+        self.idf_w = idf_w
+        self.bi = 0  # current block
+        self.li = 0  # index within current block
+        self.bdocs: np.ndarray | None = None
+        self.btfs: np.ndarray | None = None
+        self.decoded_blocks = 0
+
+    def _n_blocks(self) -> int:
+        return self.block_last.size
+
+    def _decode(self) -> None:
+        if self.bdocs is None:
+            nb = self._n_blocks()
+            dlo = self.dboff[self.bi]
+            dhi = self.dboff[self.bi + 1] if self.bi + 1 < nb else len(self.docs_blob)
+            tlo = self.tboff[self.bi]
+            thi = self.tboff[self.bi + 1] if self.bi + 1 < nb else len(self.tfs_blob)
+            gaps = varbyte_decode(self.docs_blob[dlo:dhi])
+            self.bdocs = np.cumsum(gaps.astype(np.int64))
+            self.btfs = varbyte_decode(self.tfs_blob[tlo:thi]).astype(np.int64)
+            self.decoded_blocks += 1
+
+    def exhausted(self) -> bool:
+        return self.bi >= self._n_blocks()
 
     def cur(self) -> int:
-        return int(self.docs[self.pos]) if self.pos < self.docs.size else 1 << 62
+        if self.exhausted():
+            return _SENTINEL
+        self._decode()
+        return int(self.bdocs[self.li])
 
-    def max_score(self) -> float:
-        return self.idf_w * float(self.block_maxq.max()) if self.docs.size else 0.0
+    def tf(self) -> float:
+        return float(self.btfs[self.li])
 
-    def block_bound_at(self) -> float:
-        b = self.pos // 128
-        return self.idf_w * float(self.block_maxq[min(b, self.block_maxq.size - 1)])
+    def advance(self) -> None:
+        self.li += 1
+        if self.li >= self.bdocs.size:
+            self.bi += 1
+            self.li = 0
+            self.bdocs = self.btfs = None
 
     def seek(self, target: int) -> None:
-        if self.pos < self.docs.size and self.docs[self.pos] < target:
-            self.pos += int(
-                np.searchsorted(self.docs[self.pos :], target, side="left")
-            )
+        """Skip to the first posting >= target. Whole blocks are skipped
+        via the block_last skip pointers WITHOUT decoding them."""
+        if self.exhausted():
+            return
+        nb = int(np.searchsorted(self.block_last, target, side="left"))
+        if nb > self.bi:
+            self.bi = nb
+            self.li = 0
+            self.bdocs = self.btfs = None
+        if self.exhausted():
+            return
+        self._decode()
+        self.li = int(np.searchsorted(self.bdocs, target, side="left"))
+
+    def max_score(self) -> float:
+        return self.idf_w * float(self.block_maxq.max()) if self._n_blocks() else 0.0
+
+    def block_bound_at(self) -> float:
+        b = min(self.bi, self.block_maxq.size - 1)
+        return self.idf_w * float(self.block_maxq[b])
 
 
 def wand_topk_segment(
@@ -243,16 +307,21 @@ def wand_topk_segment(
     k: int,
     weight: float = 1.0,
     threshold: float = 0.0,
+    counters: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k for a bag-of-terms query via block-max WAND pruning."""
+    """Exact top-k for a bag-of-terms query via block-max WAND pruning.
+
+    Rank-identical to the vectorized scorer (regression-tested, including
+    the BMW pivot-extension case). ``counters`` (optional) receives
+    decoded_blocks/total_blocks instrumentation."""
     present = reader.lookup_terms([t for t in dict.fromkeys(terms) if t in idfs])
     if not present:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     norm_ids, norm_dls, _ = reader.norms()
     cursors: list[_Cursor] = []
     for t, entry in present.items():
-        docs, tfs = reader.read_postings(entry)
-        bl, btf, bdl = reader.read_blockmax(entry)
+        docs_blob, tfs_blob = reader.read_term_blobs(entry)
+        bl, btf, bdl, dboff, tboff = reader.read_blockmax(entry)
         # q(max_tf, min_dl) with CURRENT avgdl: a true upper bound on the
         # block's tf factor for any posting (monotone in tf and dl)
         btf_f = btf.astype(np.float64)
@@ -262,7 +331,8 @@ def wand_topk_segment(
             * ((1.0 - BM25_B) + (BM25_B * bdl.astype(np.float64)) / avgdl)
         )
         cursors.append(
-            _Cursor(docs, tfs, bl, bq, idf_w=weight * idfs[t] * K1P1)
+            _Cursor(docs_blob, tfs_blob, bl, bq, dboff, tboff,
+                    idf_w=weight * idfs[t] * K1P1)
         )
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
 
@@ -279,12 +349,12 @@ def wand_topk_segment(
         denom_norm = BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl) / avgdl)
         s = 0.0
         for c in active:
-            tf = float(c.tfs[c.pos])
+            tf = c.tf()
             s += c.idf_w * tf / (tf + denom_norm)
         return s
 
     while True:
-        live = [c for c in cursors if c.pos < c.docs.size]
+        live = [c for c in cursors if not c.exhausted()]
         if not live:
             break
         live.sort(key=lambda c: c.cur())
@@ -300,13 +370,18 @@ def wand_topk_segment(
         if pivot_i < 0:
             break  # all terms together can't reach the bound
         pivot_doc = live[pivot_i].cur()
+        # BMW pivot extension (Ding & Suel): cursors BEYOND the pivot that
+        # already sit on pivot_doc contribute real score — extend the
+        # prefix over them or block_acc understates the doc's true upper
+        # bound and a genuine top-k hit gets pruned (rank-safety bug,
+        # regression-tested in test_index_engine.py).
+        while pivot_i + 1 < len(live) and live[pivot_i + 1].cur() == pivot_doc:
+            pivot_i += 1
         if live[0].cur() == pivot_doc:
-            # block-max refinement at current cursor blocks
-            block_acc = sum(
-                c.block_bound_at() for c in live[: pivot_i + 1]
-                if c.cur() <= pivot_doc
-            )
-            matching = [c for c in live if c.cur() == pivot_doc]
+            # every cursor in live[:pivot_i+1] sits ON pivot_doc here
+            # (live is cur()-sorted), so its CURRENT block bound applies
+            block_acc = sum(c.block_bound_at() for c in live[: pivot_i + 1])
+            matching = live[: pivot_i + 1]
             if block_acc >= req or len(heap) < k:
                 s = score_doc(pivot_doc, matching)
                 if s >= threshold:
@@ -315,10 +390,17 @@ def wand_topk_segment(
                     elif (s, -pivot_doc) > heap[0]:
                         heapq.heapreplace(heap, (s, -pivot_doc))
             for c in matching:
-                c.pos += 1
+                c.advance()
         else:
             for c in live[:pivot_i]:
                 c.seek(pivot_doc)
+    if counters is not None:
+        counters["decoded_blocks"] = counters.get("decoded_blocks", 0) + sum(
+            c.decoded_blocks for c in cursors
+        )
+        counters["total_blocks"] = counters.get("total_blocks", 0) + sum(
+            c._n_blocks() for c in cursors
+        )
     if not heap:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     items = sorted(heap, key=lambda x: (-x[0], -x[1]))
@@ -374,6 +456,57 @@ def _segment_topk(
     return topk_arrays(ids, sc, k)
 
 
+def _query_plan(index_dir: str, query: str):
+    """Shared per-query prep: parse, stats, idf, manifest, tombstones."""
+    node = dsl.parse(query)
+    stats = load_stats(index_dir)
+    avgdl = float(stats["avgdl"])
+    terms = list(dict.fromkeys(collect_terms(node)))
+    idfs = make_idfs(index_dir, terms)
+    manifest = _cached(
+        "manifest",
+        os.path.join(index_dir, "manifest"),
+        lambda: read_manifest(index_dir),
+    )
+    pids = sorted(r["partition_id"] for r in manifest)
+    tomb = _load_tombstones(index_dir)
+    return node, avgdl, idfs, pids, tomb
+
+
+def search_local(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    threshold: float = 0.0,
+    workers: int | None = None,
+) -> list[tuple[int, float]]:
+    """The SERVING path: evaluate the query against the segment files
+    directly — no Spark session, no job dispatch, no driver roundtrip —
+    on a thread pool (numpy/pyarrow release the GIL). Rank-identical to
+    the Spark path (same per-segment kernel, same global merge); this is
+    what a low-latency search tier in front of the index runs. Returns
+    [(doc_id, score)] in (score desc, doc_id asc) order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
+    pool = max(1, min(len(pids), workers or os.cpu_count() or 4))
+    # the VECTORIZED scorer: WAND's document-at-a-time Python loop would
+    # serialize on the GIL across threads (measured 2x slower here)
+    with ThreadPoolExecutor(max_workers=pool) as ex:
+        parts = list(
+            ex.map(
+                lambda p: _segment_topk(
+                    index_dir, p, node, idfs, avgdl, k, threshold, False, tomb
+                ),
+                pids,
+            )
+        )
+    ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
+    ids, sc = topk_arrays(ids, sc, k)
+    return [(int(d), float(s)) for d, s in zip(ids, sc)]
+
+
 def search_index(
     spark: SparkSession,
     index_dir: str,
@@ -396,18 +529,7 @@ def search_index(
     - "auto": local while the segment count is serving-sized (<=64),
       spark beyond.
     """
-    node = dsl.parse(query)
-    stats = load_stats(index_dir)
-    avgdl = float(stats["avgdl"])
-    terms = list(dict.fromkeys(collect_terms(node)))
-    idfs = make_idfs(index_dir, terms)
-    manifest = _cached(
-        "manifest",
-        os.path.join(index_dir, "manifest"),
-        lambda: read_manifest(index_dir),
-    )
-    pids = sorted(r["partition_id"] for r in manifest)
-    tomb = _load_tombstones(index_dir)
+    node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
     # WAND prunes docs before scoring, so it can't see tombstones that
     # would free top-k slots — fall back to the exact full-eval path then.
     is_pure_text = isinstance(node, dsl.TextQuery) and tomb is None
@@ -417,25 +539,10 @@ def search_index(
         mode = "local" if len(pids) <= 64 else "spark"
 
     if mode == "local":
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = min(len(pids), spark.sparkContext.defaultParallelism)
-        # threaded serving uses the VECTORIZED scorer: numpy/pyarrow release
-        # the GIL, so it parallelizes; WAND's document-at-a-time Python loop
-        # would serialize on the GIL across threads (measured 2x slower).
-        with ThreadPoolExecutor(max_workers=max(pool, 1)) as ex:
-            parts = list(
-                ex.map(
-                    lambda p: _segment_topk(
-                        idx_dir, p, node, idfs, avgdl, k, threshold, False, tomb
-                    ),
-                    pids,
-                )
-            )
-        ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-        sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
-        ids, sc = topk_arrays(ids, sc, k)
-        rows = [(int(d), float(s)) for d, s in zip(ids, sc)]
+        rows = search_local(
+            index_dir, query, k, threshold,
+            workers=spark.sparkContext.defaultParallelism,
+        )
         return spark.createDataFrame(rows, RESULT_SCHEMA)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

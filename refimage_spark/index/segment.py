@@ -3,12 +3,21 @@
 Files per segment (under ``{index_dir}/segments/``):
 - ``seg-{pid:05d}.post``         binary: per-term [docs_blob | tfs_blob |
                                  block_last_doc int64[] | block_max_tf u32[] |
-                                 block_min_dl u32[]]
+                                 block_min_dl u32[] | block_doc_boff u32[] |
+                                 block_tf_boff u32[]]
 - ``seg-{pid:05d}.dict.parquet`` term dictionary, sorted by term:
                                  (term, df, n, off_docs, len_docs, off_tfs,
                                   len_tfs, off_bmax, n_blocks)
-- ``seg-{pid:05d}.docs.parquet`` doc norms: (doc_id, dl, lang), sorted by
-                                 doc_id (scoring looks dl up by searchsorted)
+- ``seg-{pid:05d}.docs.parquet`` doc norms: (doc_id, dl, tags), sorted by
+                                 doc_id (scoring looks dl up by searchsorted;
+                                 tags = the full tag set {lang, source, ...}
+                                 so segment-engine tag queries agree with
+                                 the DataFrame compiler)
+
+Doc-id gaps RESET at every BLOCK boundary (the first gap of a block is
+the absolute doc id) and per-block byte offsets into the docs/tfs blobs
+are stored, so WAND can decode ONLY the blocks that survive block-max
+pruning — IO/decode savings, not just scoring savings.
 
 Block-max metadata (BLOCK=128 postings): per block the last doc id (skip
 pointer) plus (max_tf, min_dl). The score-factor upper bound
@@ -38,14 +47,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from refimage_spark.index.codec import (
-    decode_postings,
-    encode_postings,
-    varbyte_decode,
-)
+from refimage_spark.index.codec import blocked_delta_decode, varbyte_decode
 from refimage_spark.tokenizer import BM25_B, BM25_K1
 
 BLOCK = 128
+# per-block meta: [last_doc i64 | max_tf u32 | min_dl u32 | doc_boff u32 |
+#                  tf_boff u32] — boffs are byte offsets RELATIVE to the
+# term's docs/tfs region start, so one u32 covers any sane region size
+BLOCK_META_BYTES = 24
 
 DICT_SCHEMA = pa.schema(
     [
@@ -62,7 +71,7 @@ DICT_SCHEMA = pa.schema(
 )
 
 DOCS_SCHEMA = pa.schema(
-    [("doc_id", pa.int64()), ("dl", pa.int32()), ("lang", pa.string())]
+    [("doc_id", pa.int64()), ("dl", pa.int32()), ("tags", pa.list_(pa.string()))]
 )
 
 
@@ -103,22 +112,27 @@ class SegmentWriter:
         self.avgdl = float(avgdl)
         self._norm_ids: np.ndarray | None = None
         self._norm_dls: np.ndarray | None = None
-        self._norm_langs: list[str] | None = None
+        self._norm_tags: list[list[str]] | pa.Array | None = None
         self._terms: list[np.ndarray] = []
         self._docs: list[np.ndarray] = []
+        self._tfs: list[np.ndarray] = []
         self.n_postings = 0
         self.dict_table: pa.Table | None = None
 
-    def set_norms(
-        self, doc_ids: np.ndarray, dls: np.ndarray, langs: list[str]
-    ) -> None:
-        """Doc norms for this partition, sorted by doc_id."""
+    def set_norms(self, doc_ids: np.ndarray, dls: np.ndarray, tags) -> None:
+        """Doc norms for this partition, sorted by doc_id. ``tags`` is the
+        per-doc tag list (list of lists or an Arrow list<string> array)."""
         self._norm_ids = np.asarray(doc_ids, dtype=np.int64)
         self._norm_dls = np.asarray(dls, dtype=np.int64)
-        self._norm_langs = langs
+        self._norm_tags = tags
 
-    def add_raw(self, terms, doc_ids: np.ndarray) -> None:
-        """Raw (term, doc_id) rows, sorted; duplicates = tf counts.
+    def add_raw(self, terms, doc_ids: np.ndarray, tfs: np.ndarray | None = None) -> None:
+        """(term, doc_id[, tf]) rows, sorted by (term, doc_id).
+
+        Without ``tfs``, duplicates count as tf (the raw token stream).
+        With ``tfs``, rows carry pre-aggregated counts (merge/compact feed
+        decoded postings directly — no np.repeat re-expansion); duplicate
+        (term, doc) rows SUM their tfs, so both forms mix safely.
 
         ``terms`` may be a pyarrow string Array (preferred — stays in
         Arrow, no per-row Python objects) or a numpy object array."""
@@ -129,6 +143,11 @@ class SegmentWriter:
                 terms = terms.combine_chunks()
             self._terms.append(terms)
             self._docs.append(np.asarray(doc_ids, dtype=np.int64))
+            self._tfs.append(
+                np.ones(len(terms), dtype=np.int64)
+                if tfs is None
+                else np.asarray(tfs, dtype=np.int64)
+            )
 
     # -- committing ----------------------------------------------------------
 
@@ -145,7 +164,10 @@ class SegmentWriter:
         docs = (
             np.concatenate(self._docs) if self._docs else np.empty(0, np.int64)
         )
-        self._terms, self._docs = [], []
+        tf_stream = (
+            np.concatenate(self._tfs) if self._tfs else np.empty(0, np.int64)
+        )
+        self._terms, self._docs, self._tfs = [], [], []
         n_rows = len(terms)
         if n_rows == 0:
             return b"", pa.table(
@@ -161,14 +183,17 @@ class SegmentWriter:
                 terms.slice(1), terms.slice(0, n_rows - 1)
             ).to_numpy(zero_copy_only=False)
         term_code = np.cumsum(tchange) - 1
+        assert term_code[-1] < (1 << 21), "vocabulary exceeds 21-bit key space"
         uniq_terms = terms.take(pa.array(np.flatnonzero(tchange)))
-        # run-length tf over (term_code, doc) pairs
+        # run-length tf over (term_code, doc) pairs: SUM the per-row tf
+        # stream within each run (raw rows carry tf=1, pre-aggregated
+        # rows from merge/compact carry their real counts)
         key = (term_code.astype(np.int64) << 42) | docs
         kchange = np.empty(key.size, dtype=bool)
         kchange[0] = True
         kchange[1:] = key[1:] != key[:-1]
         pstart = np.flatnonzero(kchange)
-        tfs = np.diff(np.append(pstart, key.size)).astype(np.int64)
+        tfs = np.add.reduceat(tf_stream, pstart).astype(np.int64)
         udocs = docs[pstart]
         utcode = term_code[pstart]
         self.n_postings = int(udocs.size)
@@ -176,35 +201,46 @@ class SegmentWriter:
         tstart = np.flatnonzero(np.append(True, utcode[1:] != utcode[:-1]))
         tcount = np.diff(np.append(tstart, udocs.size)).astype(np.int64)
         n_terms = tstart.size
-        # delta-encode doc ids with per-term reset
-        gaps = np.empty_like(udocs)
-        gaps[0] = udocs[0]
-        np.subtract(udocs[1:], udocs[:-1], out=gaps[1:])
-        gaps[tstart] = udocs[tstart]
-        docs_blob, dlen = varbyte_encode_with_lengths(gaps)
-        tfs_blob, tlen = varbyte_encode_with_lengths(tfs)
-        dcum = np.concatenate(([0], np.cumsum(dlen)))
-        tcum = np.concatenate(([0], np.cumsum(tlen)))
         tend = tstart + tcount
-        len_docs = dcum[tend] - dcum[tstart]
-        len_tfs = tcum[tend] - tcum[tstart]
         # block boundaries: per term, blocks of BLOCK postings
         nblk = (tcount + BLOCK - 1) // BLOCK
         blk_term = np.repeat(np.arange(n_terms), nblk)
         blk_idx = np.concatenate([np.arange(k) for k in nblk]) if n_terms else []
         blk_start = tstart[blk_term] + np.asarray(blk_idx) * BLOCK
         blk_end = np.minimum(blk_start + BLOCK, tend[blk_term])
+        # delta-encode doc ids with a reset at EVERY block start (not just
+        # term start): each block decodes independently, so WAND reads and
+        # decodes only the blocks that survive block-max pruning
+        gaps = np.empty_like(udocs)
+        gaps[0] = udocs[0]
+        np.subtract(udocs[1:], udocs[:-1], out=gaps[1:])
+        gaps[blk_start] = udocs[blk_start]
+        docs_blob, dlen = varbyte_encode_with_lengths(gaps)
+        tfs_blob, tlen = varbyte_encode_with_lengths(tfs)
+        dcum = np.concatenate(([0], np.cumsum(dlen)))
+        tcum = np.concatenate(([0], np.cumsum(tlen)))
+        len_docs = dcum[tend] - dcum[tstart]
+        len_tfs = tcum[tend] - tcum[tstart]
         dls = self._norm_dls[np.searchsorted(self._norm_ids, udocs)]
         blk_last = udocs[blk_end - 1]
         blk_maxtf = np.maximum.reduceat(tfs, blk_start).astype(np.uint32)
         blk_mindl = np.minimum.reduceat(dls, blk_start).astype(np.uint32)
+        # per-block byte offsets RELATIVE to the term's region start
+        blk_dboff = dcum[blk_start] - dcum[tstart][blk_term]
+        blk_tboff = tcum[blk_start] - tcum[tstart][blk_term]
+        assert blk_dboff.size == 0 or (
+            blk_dboff.max() < (1 << 32) and blk_tboff.max() < (1 << 32)
+        ), "term posting region exceeds u32 block offsets"
+        blk_dboff = blk_dboff.astype(np.uint32)
+        blk_tboff = blk_tboff.astype(np.uint32)
         # assemble: [docs region][tfs region][per-term block meta region]
         docs_region = np.frombuffer(docs_blob, dtype=np.uint8)
         tfs_region = np.frombuffer(tfs_blob, dtype=np.uint8)
         base_tfs = docs_region.size
         base_blk = base_tfs + tfs_region.size
-        # per-term block meta is [last int64[nb] | max_tf u32[nb] | min_dl u32[nb]]
-        blk_bytes_per_term = nblk * 16
+        # per-term block meta: [last i64[nb] | max_tf u32[nb] | min_dl
+        # u32[nb] | doc_boff u32[nb] | tf_boff u32[nb]]
+        blk_bytes_per_term = nblk * BLOCK_META_BYTES
         blk_off = base_blk + np.concatenate(
             ([0], np.cumsum(blk_bytes_per_term)[:-1])
         )
@@ -214,18 +250,17 @@ class SegmentWriter:
         for t in range(n_terms):  # O(1) byte-blit per term
             nb = int(nblk[t])
             s = int(bstart[t])
-            blk_region[pos : pos + nb * 8] = np.frombuffer(
-                blk_last[s : s + nb].tobytes(), dtype=np.uint8
-            )
-            pos += nb * 8
-            blk_region[pos : pos + nb * 4] = np.frombuffer(
-                blk_maxtf[s : s + nb].tobytes(), dtype=np.uint8
-            )
-            pos += nb * 4
-            blk_region[pos : pos + nb * 4] = np.frombuffer(
-                blk_mindl[s : s + nb].tobytes(), dtype=np.uint8
-            )
-            pos += nb * 4
+            for arr, w in (
+                (blk_last, 8),
+                (blk_maxtf, 4),
+                (blk_mindl, 4),
+                (blk_dboff, 4),
+                (blk_tboff, 4),
+            ):
+                blk_region[pos : pos + nb * w] = np.frombuffer(
+                    arr[s : s + nb].tobytes(), dtype=np.uint8
+                )
+                pos += nb * w
         blob = b"".join(
             [docs_region.tobytes(), tfs_region.tobytes(), blk_region.tobytes()]
         )
@@ -255,12 +290,15 @@ class SegmentWriter:
             os.fsync(f.fileno())
         os.replace(post_path + ".tmp", post_path)
         pq.write_table(dict_table, dict_path, compression="zstd")
+        tags = self._norm_tags
+        if not isinstance(tags, (pa.Array, pa.ChunkedArray)):
+            tags = pa.array(tags, pa.list_(pa.string()))
         pq.write_table(
             pa.table(
                 {
                     "doc_id": self._norm_ids,
                     "dl": self._norm_dls.astype(np.int32),
-                    "lang": pa.array(self._norm_langs, pa.string()),
+                    "tags": tags,
                 }
             ),
             docs_path,
@@ -287,8 +325,9 @@ class SegmentReader:
 
     def __init__(self, index_dir: str, pid: int):
         self.post_path, self.dict_path, self.docs_path = seg_paths(index_dir, pid)
-        self._norms: tuple[np.ndarray, np.ndarray, list[str]] | None = None
+        self._norms: tuple[np.ndarray, np.ndarray, pa.Array] | None = None
         self._dict: dict[str, dict] | None = None
+        self._tag_map: dict[str, np.ndarray] | None = None
 
     def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
         if not terms:  # e.g. no query term exists in the corpus vocabulary
@@ -309,43 +348,101 @@ class SegmentReader:
             out[row["term"]] = row
         return out
 
-    def read_postings(self, entry: dict) -> tuple[np.ndarray, np.ndarray]:
+    def read_term_blobs(self, entry: dict) -> tuple[bytes, bytes]:
+        """Raw encoded docs/tfs regions for one term (one sequential read
+        each; block-lazy decode slices these by the per-block offsets)."""
         with open(self.post_path, "rb") as f:
             f.seek(entry["off_docs"])
             docs_blob = f.read(entry["len_docs"])
             f.seek(entry["off_tfs"])
             tfs_blob = f.read(entry["len_tfs"])
-        return decode_postings(docs_blob, tfs_blob, entry["n"])
+        return docs_blob, tfs_blob
+
+    def read_postings(self, entry: dict) -> tuple[np.ndarray, np.ndarray]:
+        docs_blob, tfs_blob = self.read_term_blobs(entry)
+        gaps = varbyte_decode(docs_blob, entry["n"])
+        doc_ids = blocked_delta_decode(gaps, BLOCK)
+        tfs = varbyte_decode(tfs_blob, entry["n"]).astype(np.int64)
+        return doc_ids, tfs
 
     def read_blockmax(
         self, entry: dict
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Per-block (last_doc, max_tf, min_dl, doc_boff, tf_boff)."""
         nb = entry["n_blocks"]
         with open(self.post_path, "rb") as f:
             f.seek(entry["off_bmax"])
-            raw = f.read(nb * 16)
+            raw = f.read(nb * BLOCK_META_BYTES)
         last_doc = np.frombuffer(raw[: nb * 8], dtype=np.int64)
-        max_tf = np.frombuffer(raw[nb * 8 : nb * 12], dtype=np.uint32)
-        min_dl = np.frombuffer(raw[nb * 12 :], dtype=np.uint32)
-        return last_doc, max_tf, min_dl
+        u32 = np.frombuffer(raw[nb * 8 :], dtype=np.uint32)
+        return last_doc, u32[:nb], u32[nb : 2 * nb], u32[2 * nb : 3 * nb], u32[3 * nb :]
 
-    def read_block_postings(
-        self, entry: dict, blocks: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Decode only the given block indices (needs full docs blob for
-        gap reconstruction of arbitrary blocks, so used when blocks are a
-        prefix or pruning is dense; falls back to full decode)."""
-        return self.read_postings(entry)
+    def read_all_postings(
+        self,
+    ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+        """Decode the ENTIRE segment in three vectorized passes:
+        (terms string array, per-posting term_code, doc_ids, tfs).
 
-    def norms(self) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        The docs/tfs regions are contiguous across terms (dict write
+        order), so one read + one varbyte_decode each covers the whole
+        segment — merge/compact rebuild postings with NO per-term Python
+        loop and NO np.repeat re-expansion of tf runs."""
+        t = pq.read_table(self.dict_path)
+        n_arr = t["n"].to_numpy()
+        n_terms = n_arr.size
+        empty = (
+            pa.array([], pa.string()),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+        if n_terms == 0:
+            return empty
+        total = int(n_arr.sum())
+        base_tfs = int(t["off_tfs"][0].as_py())
+        base_blk = int(t["off_bmax"][0].as_py())
+        with open(self.post_path, "rb") as f:
+            raw = f.read(base_blk)
+        gaps = varbyte_decode(raw[:base_tfs], total).astype(np.int64)
+        tfs = varbyte_decode(raw[base_tfs:], total).astype(np.int64)
+        # undo the block-reset delta coding across ALL terms at once
+        tstart = np.concatenate(([0], np.cumsum(n_arr)[:-1]))
+        nblk = (n_arr + BLOCK - 1) // BLOCK
+        blk_term = np.repeat(np.arange(n_terms), nblk)
+        blk_idx = np.concatenate([np.arange(k) for k in nblk])
+        blk_start = tstart[blk_term] + blk_idx * BLOCK
+        cs = np.cumsum(gaps)
+        base = cs[blk_start] - gaps[blk_start]
+        sizes = np.diff(np.append(blk_start, total))
+        docs = cs - np.repeat(base, sizes)
+        term_codes = np.repeat(np.arange(n_terms, dtype=np.int64), n_arr)
+        return t["term"].combine_chunks(), term_codes, docs, tfs
+
+    def norms(self) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+        """(doc_ids, dls, tags list<string> Arrow array), doc_id-sorted."""
         if self._norms is None:
             t = pq.read_table(self.docs_path)
             self._norms = (
                 t["doc_id"].to_numpy(),
                 t["dl"].to_numpy(),
-                t["lang"].to_pylist(),
+                t["tags"].combine_chunks(),
             )
         return self._norms
+
+    def tag_ids(self, tag: str) -> np.ndarray:
+        """Sorted doc ids carrying ``tag`` (matched lowercased, mirroring
+        the DataFrame compiler's semantics, plans/compiler.py)."""
+        if self._tag_map is None:
+            ids, _, tags = self.norms()
+            lens = np.diff(tags.offsets.to_numpy())
+            owner = np.repeat(ids, lens)
+            flat = pc.utf8_lower(tags.flatten()).dictionary_encode()
+            codes = flat.indices.to_numpy(zero_copy_only=False)
+            vocab = flat.dictionary.to_pylist()
+            self._tag_map = {
+                v: np.sort(owner[codes == c]) for c, v in enumerate(vocab)
+            }
+        return self._tag_map.get(tag.lower(), np.empty(0, np.int64))
 
     def dl_for(self, doc_ids: np.ndarray) -> np.ndarray:
         ids, dls, _ = self.norms()
@@ -384,6 +481,11 @@ def write_manifest_row(index_dir: str, stats: SegmentStats, extra: dict) -> None
 
 
 def read_manifest(index_dir: str) -> list[dict]:
+    """All committed segment rows, with merge crash-safety: a row whose
+    pid appears in another row's ``merged_from`` is superseded — the
+    merged segment's row IS the commit point for a merge, so a crash
+    between that row landing and the source rows being deleted can never
+    serve a doc from two segments (the stale rows are filtered here)."""
     d = manifest_dir(index_dir)
     if not os.path.isdir(d):
         return []
@@ -392,7 +494,10 @@ def read_manifest(index_dir: str) -> list[dict]:
         if name.endswith(".json"):
             with open(os.path.join(d, name)) as f:
                 rows.append(json.load(f))
-    return rows
+    superseded: set[int] = set()
+    for r in rows:
+        superseded.update(r.get("merged_from") or [])
+    return [r for r in rows if r["partition_id"] not in superseded]
 
 
 def committed_pids(index_dir: str) -> set[int]:

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-SORT_WHITELIST = {"doc_id", "n_chars", "lang", "source"}  # ≅ storage.py:379-387
+# ≅ reference whitelist {created_at, filename, file_size} + default sort
+# created_at DESC (src/refimage/storage.py:358,379-387): timestamp keys
+# (warc_ts/created_at) are first-class sort columns here too
+SORT_WHITELIST = {"doc_id", "n_chars", "lang", "source", "warc_ts", "created_at"}
 
 
 def point_lookup(documents: DataFrame, doc_id: int) -> DataFrame:

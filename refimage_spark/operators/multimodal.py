@@ -39,11 +39,20 @@ MEDIA_META_SCHEMA = T.StructType(
 
 FEATURE_DIM = 64
 
+FEATURE_VECTORS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("sha", T.StringType()),
-        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("feature_digest", T.StringType()),
+        T.StructField("feature_norm", T.DoubleType()),
     ]
 )
 
@@ -60,17 +69,56 @@ def _fake_decode(raw: bytes) -> np.ndarray:
     return (v / np.linalg.norm(v)).astype(np.float32)
 
 
-def extract_features(media: DataFrame, binary_col: str = "html") -> DataFrame:
-    """doc_id + content sha + unit-norm feature vector, Arrow-batched."""
+def extract_feature_vectors(media: DataFrame, binary_col: str = "html") -> DataFrame:
+    """doc_id + content md5 + unit-norm feature vector, Arrow-batched —
+    the pipeline-facing form (feeds similarity/dedup operators)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             feats = [
                 _fake_decode(bytes(raw)).tolist() for raw in b[binary_col]
             ]
-            shas = [hashlib.sha256(bytes(raw)).hexdigest() for raw in b[binary_col]]
+            md5s = [hashlib.md5(bytes(raw)).hexdigest() for raw in b[binary_col]]
             yield pd.DataFrame(
-                {"doc_id": b["doc_id"], "sha": shas, "feature": feats}
+                {"doc_id": b["doc_id"], "content_md5": md5s, "feature": feats}
+            )
+
+    return media.select("doc_id", binary_col).mapInPandas(
+        run, schema=FEATURE_VECTORS_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Checkable summary form: every column hashable/deterministic.
+
+    - content_md5: md5 of the raw bytes (oracle-checkable: DuckDB
+      md5(text) over the same content);
+    - feature_digest: md5 of the 6-decimal-rounded vector repr —
+      pins the decode stub's output bit-stably across runs/partitions;
+    - feature_norm: ||v|| rounded to 4 — the unit-norm invariant of the
+      encoder (oracle asserts 1.0).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            md5s, fdig, fnorm = [], [], []
+            for raw in b[binary_col]:
+                raw = bytes(raw)
+                v = _fake_decode(raw)
+                md5s.append(hashlib.md5(raw).hexdigest())
+                fdig.append(
+                    hashlib.md5(
+                        ",".join(f"{x:.6f}" for x in v).encode()
+                    ).hexdigest()
+                )
+                fnorm.append(round(float(np.linalg.norm(v.astype(np.float64))), 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "content_md5": md5s,
+                    "feature_digest": fdig,
+                    "feature_norm": fnorm,
+                }
             )
 
     return media.select("doc_id", binary_col).mapInPandas(

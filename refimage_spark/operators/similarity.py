@@ -1,24 +1,36 @@
-"""Similarity search over embedding columns (ANN).
+"""Similarity search over embedding columns: exact + persisted ANN.
 
 The reference's core operator is exact cosine top-k over a dense matrix
-(FAISS IndexFlatIP, src/refimage/search/__init__.py:202-266). Here:
+(FAISS IndexFlatIP, src/refimage/search/__init__.py:202-266), with the
+index BUILT ONCE, persisted, and loaded for every query
+(src/refimage/search/__init__.py:322-396). Mirrored here:
 
-- ``cosine_topk``   — exact brute-force baseline, pure DataFrame: the
+- ``cosine_topk``    — exact brute-force baseline, pure DataFrame: the
   query vector is a broadcast literal; the scan is embarrassingly
   parallel; top-k is TakeOrdered (bounded heap per partition).
-- ``lsh_topk``      — the scale path: random-hyperplane (sign) LSH
-  bucketing; only the query's bucket (+ optional multi-probe neighbors)
-  is scanned. At 10^12 vectors the bucket table is written
-  partitioned-by(bucket) so a query prunes to one partition.
+- ``build_lsh_index`` / ``lsh_topk`` — the scale path: one-time
+  random-hyperplane (sign) LSH bucketing written ``partitionBy(bucket)``;
+  a query enumerates the <= C(n_planes,2)+n_planes+1 multiprobe buckets
+  and the parquet scan PRUNES to those partitions (PartitionFilters in
+  the plan — no full scan, no per-query featurization).
+- ``build_ivf_index`` / ``ivf_topk`` — IVF: the coarse quantizer is
+  trained ONCE on a deterministic bounded sample, centroids persist
+  with the index, rows are written ``partitionBy(cell)``; a query scans
+  only the nprobe nearest cells.
 
-Hyperplanes are seed-pinned (deterministic across runs/cluster sizes).
+Hyperplanes and k-means are seed-pinned (deterministic across runs and
+cluster sizes). At 10^12 vectors both indexes are one extra shuffle at
+build time and O(corpus/n_cells * nprobe) IO per query.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -74,6 +86,72 @@ def with_lsh_bucket(
     return embeddings.withColumn("bucket", bucket)
 
 
+def probe_buckets(
+    planes: np.ndarray, query_vec: list[float], multiprobe: int = 2
+) -> list[int]:
+    """The query's bucket plus all buckets within hamming <= multiprobe."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    n_planes = planes.shape[0]
+    qb = sum((1 << j) for j in range(n_planes) if float(planes[j] @ qv) > 0)
+    probes = [qb]
+    if multiprobe >= 1:
+        probes += [qb ^ (1 << j) for j in range(n_planes)]
+    if multiprobe >= 2:
+        probes += [
+            qb ^ (1 << j) ^ (1 << i)
+            for j in range(n_planes)
+            for i in range(j + 1, n_planes)
+        ]
+    return probes
+
+
+# ---- persisted LSH index -------------------------------------------------------
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """One-time build: bucket every vector, write partitionBy(bucket) so a
+    query's parquet scan prunes to its probe partitions."""
+    bucketed = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), "bucket"
+    )
+    data_dir = os.path.join(index_dir, "lsh")
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+    meta = {"dim": dim, "n_planes": n_planes, "seed": seed}
+    with open(os.path.join(index_dir, "lsh_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k over the PERSISTED LSH index: scan only buckets
+    within hamming<=multiprobe of the query's bucket (partition-pruned
+    scan), then exact cosine rank inside the candidates."""
+    meta = json.load(open(os.path.join(index_dir, "lsh_meta.json")))
+    planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
+    probes = probe_buckets(planes, query_vec, multiprobe)
+    cand = spark.read.parquet(os.path.join(index_dir, "lsh")).where(
+        F.col("bucket").isin(probes)
+    )
+    return cosine_topk(cand, query_vec, k=k)
+
+
+# ---- persisted IVF index -------------------------------------------------------
+
+
 def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Deterministic spherical k-means (numpy, seeded init, fixed iters).
     Trained on a bounded sample — standard IVF practice: at 10^12 vectors
@@ -93,32 +171,31 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.n
     return cent
 
 
-def ivf_topk(
+def build_ivf_index(
     embeddings: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
+    index_dir: str,
     n_cells: int = 16,
-    nprobe: int = 4,
     seed: int = 42,
     train_sample: int = 4096,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF ANN: seeded k-means coarse quantizer; scan only the nprobe
-    cells nearest the query, exact cosine rank within.
-
-    Scale shape: cell assignment is one Arrow-batched pandas UDF pass
-    (numpy matmul per batch); the cell table is written
-    partitioned-by(cell) so a query prunes to nprobe partitions. The
-    brute-force baseline is cosine_topk; this trades recall for a
-    ~n_cells/nprobe scan reduction.
-    """
+) -> dict:
+    """One-time build: train the coarse quantizer on a DETERMINISTIC
+    bounded sample (lowest ids — reproducible at any parallelism), assign
+    every vector to its cell in one Arrow-batched pass, persist the rows
+    partitionBy(cell) and the centroids beside them."""
     sample = np.asarray(
-        [r[0] for r in embeddings.select(vec_col).limit(train_sample).collect()],
+        [
+            r[0]
+            for r in embeddings.select(vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(train_sample)
+            .collect()
+        ],
         dtype=np.float64,
     )
     cent = _kmeans(sample, n_cells, seed=seed)
-    b_cent = cent  # closed over; ~n_cells*dim floats, broadcast with the task
+    b_cent = cent  # closed over; n_cells*dim floats, ships with the task
 
     @pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
@@ -126,40 +203,56 @@ def ivf_topk(
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(m @ b_cent.T, axis=1).astype(np.int32))
 
+    celled = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    data_dir = os.path.join(index_dir, "ivf")
+    celled.write.mode("overwrite").partitionBy("cell").parquet(data_dir)
+    meta = {"n_cells": n_cells, "seed": seed, "centroids": cent.tolist()}
+    with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"n_cells": n_cells, "seed": seed}
+
+
+def ivf_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k over the PERSISTED IVF index: load centroids,
+    pick the nprobe nearest cells, scan ONLY those partitions, exact
+    cosine rank within."""
+    meta = json.load(open(os.path.join(index_dir, "ivf_meta.json")))
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     probe_cells = [int(c) for c in np.argsort(-(cent @ qv))[:nprobe]]
-    cand = embeddings.withColumn("cell", cell_of(F.col(vec_col))).where(
+    cand = spark.read.parquet(os.path.join(index_dir, "ivf")).where(
         F.col("cell").isin(probe_cells)
     )
-    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+    return cosine_topk(cand, query_vec, k=k)
 
 
-def lsh_topk(
+def ann_recall(
+    spark: SparkSession,
     embeddings: DataFrame,
+    index_dir: str,
     query_vec: list[float],
-    dim: int,
     k: int = 10,
-    n_planes: int = 8,
-    seed: int = 42,
-    multiprobe: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: scan only buckets within hamming<=multiprobe of
-    the query's bucket, then exact cosine rank inside the candidates."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qb = sum((1 << j) for j in range(n_planes) if float(planes[j] @ qv) > 0)
-    probes = [qb]
-    if multiprobe >= 1:
-        probes += [qb ^ (1 << j) for j in range(n_planes)]
-    if multiprobe >= 2:
-        probes += [
-            qb ^ (1 << j) ^ (1 << i)
-            for j in range(n_planes)
-            for i in range(j + 1, n_planes)
-        ]
-    bucketed = with_lsh_bucket(embeddings, dim, n_planes, seed, vec_col)
-    cand = bucketed.where(F.col("bucket").isin(probes))
-    return cosine_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+    """Quality gate: recall@k of each ANN method against the exact
+    brute-force scan (the oracle operator, cosine_topk). One tiny
+    driver-side set compare — the three top-k's are k rows each."""
+    exact = {r.vec_id for r in cosine_topk(embeddings, query_vec, k=k).collect()}
+    rows = []
+    for method, df in (
+        ("lsh", lsh_topk(spark, index_dir, query_vec, k=k)),
+        ("ivf", ivf_topk(spark, index_dir, query_vec, k=k)),
+    ):
+        got = {r.vec_id for r in df.collect()}
+        rows.append((method, round(len(exact & got) / float(k), 4)))
+    return spark.createDataFrame(rows, "method string, recall double")

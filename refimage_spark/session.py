@@ -2,8 +2,9 @@
 
 Settings rationale (100 TB target, tested on local[N]):
 - AQE on: runtime coalescing of post-shuffle partitions + skew-join
-  splitting; Zipf head terms additionally get explicit salting in the
-  index build (AQE alone can't split a single hot groupBy key).
+  splitting; Zipf head terms need no salting in the index build — the
+  segments are DOC-partitioned, so a head term's postings split across
+  all P partitions structurally (index/build.py design notes).
 - Arrow on: every Python stage in this engine is a pandas/Arrow UDF.
 - shuffle.partitions defaults to 2x cores locally; on a real cluster
   this is overridden to ~2-3x total executor cores.

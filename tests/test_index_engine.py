@@ -110,6 +110,85 @@ def test_wand_equals_vectorized(spark, index_dir):
         np.testing.assert_allclose(vsc, wsc, rtol=1e-9)
 
 
+def _raw_segment(tmp_path, postings: dict, n_docs: int, dl: int = 10):
+    """Hand-built single segment: postings = {term: [(doc, tf), ...]}."""
+    import pyarrow as pa
+
+    from refimage_spark.index.segment import SegmentWriter
+
+    d = str(tmp_path / "rawseg")
+    w = SegmentWriter(d, 0, float(dl))
+    ids = np.arange(n_docs, dtype=np.int64)
+    w.set_norms(ids, np.full(n_docs, dl, np.int64), [["en"]] * n_docs)
+    for term in sorted(postings):
+        docs = np.array([p[0] for p in postings[term]], dtype=np.int64)
+        tfs = np.array([p[1] for p in postings[term]], dtype=np.int64)
+        w.add_raw(pa.array([term] * docs.size, pa.string()), docs, tfs)
+    w.finish()
+    return d
+
+
+def test_wand_pivot_extension_rank_safe(spark, tmp_path):
+    """Regression (ADVICE r1, high): a cursor BEYOND the pivot sitting on
+    pivot_doc contributes real score; without BMW pivot extension the
+    block bound understates the doc and a true top-1 hit is pruned.
+
+    Setup: term x tf=10 at doc 0, tf=1 on docs 1..199 (2 blocks); term y
+    tf=10 at doc 150 only; k=1. True top-1 is doc 150 (x's tf=1 part +
+    y's tf=10 part); the buggy prune returned doc 0."""
+    from refimage_spark.index.query import topk_arrays
+    from refimage_spark.index.segment import SegmentReader
+
+    post_x = [(0, 10)] + [(i, 1) for i in range(1, 200)]
+    post_y = [(150, 10)]
+    d = _raw_segment(tmp_path, {"x": post_x, "y": post_y}, n_docs=200)
+    r = SegmentReader(d, 0)
+    idfs = {"x": 1.0, "y": 1.0}
+    wids, wsc = wand_topk_segment(r, ["x", "y"], idfs, 10.0, 1)
+    vids, vsc = eval_node(r, dsl.TextQuery("x y", 1.0), idfs, 10.0, 0.0)
+    vids, vsc = topk_arrays(vids, vsc, 1)
+    assert wids.tolist() == vids.tolist() == [150]
+    np.testing.assert_allclose(wsc, vsc, rtol=1e-12)
+    assert wsc[0] == pytest.approx(1.0 + 10 * 2.2 / 11.2, rel=1e-9)
+
+
+def test_wand_skips_block_decode(spark, tmp_path):
+    """Block-lazy IO: seek() jumps whole blocks via the skip pointers;
+    blocks that are never landed on are never DECODED (gap resets at
+    block boundaries make each block self-contained). Rank identity
+    with the vectorized scorer still holds."""
+    from refimage_spark.index.query import topk_arrays
+    from refimage_spark.index.segment import SegmentReader
+
+    # term a: 10 blocks of tf=1 postings; term b: rare, high idf, at the
+    # two ends — after doc 0 fills the heap, a's cursor seeks straight
+    # to 1200 skipping blocks 1..8 undecoded
+    post_a = [(i, 1) for i in range(1280)]
+    post_b = [(0, 10), (1200, 10)]
+    d = _raw_segment(tmp_path, {"a": post_a, "b": post_b}, n_docs=1280)
+    r = SegmentReader(d, 0)
+    idfs = {"a": 0.05, "b": 5.0}
+    counters: dict = {}
+    wids, wsc = wand_topk_segment(
+        r, ["a", "b"], idfs, 10.0, 1, counters=counters
+    )
+    assert counters["decoded_blocks"] < counters["total_blocks"], counters
+    vids, vsc = eval_node(r, dsl.TextQuery("a b", 1.0), idfs, 10.0, 0.0)
+    vids, vsc = topk_arrays(vids, vsc, 1)
+    assert wids.tolist() == vids.tolist()
+    np.testing.assert_allclose(wsc, vsc, rtol=1e-12)
+
+
+def test_index_tag_queries_match_compiler(spark, index_dir, oracle_corpus):
+    """Segment docs store the FULL tag array, so #tag queries agree
+    between the segment engine and the DataFrame compiler (r1 gap: the
+    engine matched lang only)."""
+    for q in ["#en", "#en #de", "fast car #en"]:
+        got = search_index(spark, index_dir, q, k=500).collect()
+        want = search(oracle_corpus, q, limit=500).collect()
+        assert [r.doc_id for r in got] == [r.doc_id for r in want], q
+
+
 def test_resume_after_partial_build(spark, tmp_path):
     d = str(tmp_path / "idx2")
     pages = generate_pages(spark, 400, seed=42, partitions=4)

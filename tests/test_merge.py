@@ -78,6 +78,69 @@ def test_wand_rank_safe_after_stats_drift(spark, small_index):
         assert a.score == pytest.approx(b.score, rel=1e-12)
 
 
+def test_merge_crash_between_commit_and_cleanup_is_safe(spark, small_index):
+    """The merged row's manifest write is the COMMIT POINT: if the
+    source rows/files survive a crash after it, read_manifest must
+    supersede them (else every merged doc is served twice)."""
+    import shutil
+
+    append_pages(spark, generate_pages(spark, 120, seed=51, partitions=1),
+                 small_index)
+    append_pages(spark, generate_pages(spark, 120, seed=52, partitions=1),
+                 small_index)
+    from refimage_spark.index.merge import merge_segments
+
+    pids = sorted(r["partition_id"] for r in read_manifest(small_index))
+    victims = [p for p in pids if p >= 4][:2]
+    before = [(r.doc_id, r.score) for r in
+              search_index(spark, small_index, "red car", k=20).collect()]
+    # snapshot the source rows/files, merge, then RESTORE them —
+    # exactly the state a crash between commit and cleanup leaves
+    snap = {}
+    for p in victims:
+        mf = f"{small_index}/manifest/part-{p:05d}.json"
+        snap[mf] = open(mf).read()
+        for f in __import__("glob").glob(
+            f"{small_index}/segments/seg-{p:05d}.*"
+        ):
+            shutil.copy(f, f + ".snap")
+    merge_segments(small_index, victims)
+    for mf, content in snap.items():
+        open(mf, "w").write(content)
+    for f in __import__("glob").glob(f"{small_index}/segments/*.snap"):
+        shutil.move(f, f[: -len(".snap")])
+    pids_now = {r["partition_id"] for r in read_manifest(small_index)}
+    assert not (set(victims) & pids_now)  # superseded rows filtered
+    after = [(r.doc_id, r.score) for r in
+             search_index(spark, small_index, "red car", k=20).collect()]
+    assert after == before  # no doc served twice, scores unchanged
+
+
+def test_size_tiered_merge_policy(spark, small_index):
+    """Many small streaming appends -> the policy folds same-tier
+    segments together; queries identical before/after."""
+    from refimage_spark.index.merge import plan_merges, run_merge_policy
+
+    for seed in (61, 62, 63, 64):
+        append_pages(spark, generate_pages(spark, 60, seed=seed, partitions=1),
+                     small_index)
+    n_before = len(read_manifest(small_index))
+    before = {
+        q: [(r.doc_id, r.score) for r in
+            search_index(spark, small_index, q, k=20).collect()]
+        for q in ["red car", "car", "beach sunset NOT person"]
+    }
+    assert plan_merges(small_index, min_merge=4), "appends must overflow a tier"
+    out = run_merge_policy(small_index, min_merge=4)
+    assert out["merged_groups"]
+    assert len(read_manifest(small_index)) < n_before
+    assert not plan_merges(small_index, min_merge=4)  # converged
+    for q, want in before.items():
+        got = [(r.doc_id, r.score) for r in
+               search_index(spark, small_index, q, k=20).collect()]
+        assert got == want, q
+
+
 def test_merge_segments_preserves_results(spark, small_index):
     # grow the index twice -> many small appended segments
     append_pages(spark, generate_pages(spark, 120, seed=51, partitions=1),

@@ -1,12 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
-plus the training-data pipeline ops (36 entries); ``oracle_sql()`` gives
-the DuckDB equivalent for 33 of them (same column names, floats rounded
+plus the training-data pipeline ops (40 entries); ``oracle_sql()`` gives
+the DuckDB equivalent for 38 of them (same column names, floats rounded
 identically on both sides — including MinHash/SimHash via an md5-derived
-hash family both engines compute bit-identically, and the real segment
-engine via the index_* entries). The 3 rows-only entries are the
-approximate ANN variants and the hash-seeded multimodal decode stub.
+hash family both engines compute bit-identically, sign-LSH ANN via
+hyperplanes inlined as SQL literals, and the real segment engine via the
+index_* entries). The 2 rows-only entries are the k-means IVF path
+(quantizer not SQL-expressible) and the ann_recall quality gate that
+quantifies both ANN methods against the exact scan.
 """
 
 from __future__ import annotations

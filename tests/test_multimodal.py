@@ -64,9 +64,60 @@ def test_fake_decode_unit_norm_and_seeded():
     assert not np.array_equal(a, c)
 
 
-def test_media_metadata_jvm_only(spark, documents):
+def test_media_metadata_detects_html(spark, documents):
     m = _media(documents)
     rows = media_metadata(m, "raw").collect()
     lens = {r.doc_id: r.meta.n_bytes for r in rows}
     want = {r.doc_id: len(r.raw) for r in m.collect()}
     assert lens == want
+
+
+def _png(w, h):  # minimal header: signature + IHDR prefix
+    return (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _jpeg(w, h):
+    # SOI + APP0 stub + SOF0 with (h, w)
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_sniff_media_formats():
+    from refimage_spark.operators.multimodal import sniff_media
+
+    assert sniff_media(_png(640, 480)) == ("image/png", 640, 480)
+    assert sniff_media(_gif(12, 34)) == ("image/gif", 12, 34)
+    assert sniff_media(_jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080)
+    assert sniff_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == ("image/webp", None, None)
+    assert sniff_media(b"%PDF-1.7 ...") == ("application/pdf", None, None)
+    assert sniff_media(b"<!DOCTYPE html><html>...") == ("text/html", None, None)
+    assert sniff_media(b"\x00\x01binary junk") == (
+        "application/octet-stream", None, None,
+    )
+
+
+def test_media_metadata_mixed_binary_column(spark):
+    rows = [
+        (1, bytearray(_png(640, 480))),
+        (2, bytearray(_gif(12, 34))),
+        (3, bytearray(_jpeg(1920, 1080))),
+        (4, bytearray(b"<html><body>hi</body></html>")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, raw binary")
+    got = {r.doc_id: r.meta for r in media_metadata(df, "raw").collect()}
+    assert got[1].mime == "image/png" and (got[1].width, got[1].height) == (640, 480)
+    assert got[2].mime == "image/gif" and (got[2].width, got[2].height) == (12, 34)
+    assert got[3].mime == "image/jpeg" and (got[3].width, got[3].height) == (1920, 1080)
+    assert got[4].mime == "text/html" and got[4].width is None
+    assert all(got[i].n_bytes == len(bytes(rows[i - 1][1])) for i in got)

@@ -272,6 +272,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_neardup"] = lambda s, d: D.embedding_neardup_pairs(
         _emb(s, d), threshold=0.9, block_col="label"
     )
+    # grouping-sets coverage (SURVEY §2.9): ROLLUP over the tag columns
+    q["stats_rollup_by_tag"] = lambda s, d: (
+        _docs(s, d)
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
     # --- similarity search ---
     def _cos_topk(s: SparkSession, d: str) -> DataFrame:
         emb = _emb(s, d)
@@ -514,6 +529,13 @@ def oracle_sql() -> dict[str, str]:
       cast(bit_count(xor(a.fp, b.fp)) AS int) AS hamming
     FROM blk a JOIN blk b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    o["stats_rollup_by_tag"] = (
+        "SELECT coalesce(lang, '(all)') AS lang, "
+        "coalesce(source, '(all)') AS source, "
+        "cast(count(*) AS bigint) AS n_docs, "
+        "cast(sum(n_chars) AS bigint) AS total_chars "
+        "FROM documents GROUP BY ROLLUP(lang, source)"
+    )
     o["embedding_neardup"] = """WITH e AS (
       SELECT vec_id, label, [cast(x AS double) for x in embedding] AS emb
       FROM embeddings)

@@ -156,8 +156,17 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) candidate pairs sharing >=1 LSH band."""
+    """Distinct (doc_a < doc_b) candidate pairs sharing >=1 LSH band.
+
+    ``max_bucket_width`` bounds black-hole buckets (boilerplate shingles
+    hashing thousands of docs into one band bucket → a W² join blow-up):
+    buckets wider than W are DROPPED before the self-join. Standard
+    web-dedup practice — such buckets are boilerplate, not near-dups;
+    at 10^12 docs this bound is what keeps the join quadratic-free.
+    None (default) keeps exact LSH semantics (the oracle-checked form).
+    """
     rows_per_band = num_hashes // bands
     banded = signatures.select(
         "doc_id",
@@ -181,6 +190,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
+    if max_bucket_width is not None:
+        widths = banded.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        banded = (
+            banded.join(widths, ["band", "bkey"])
+            .where(F.col("_w") <= max_bucket_width)
+            .drop("_w")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -222,15 +240,20 @@ def minhash_neardup_pairs(
     n: int = 3,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold.
 
     The shingled table is referenced three times (signatures + both join
     sides of the verify); localCheckpoint materializes it once instead of
     recomputing — lineage is truncated and the blocks are GC'd with the
-    plan (unlike cache(), nothing leaks in the CacheManager)."""
+    plan (unlike cache(), nothing leaks in the CacheManager).
+
+    Set ``max_bucket_width`` at scale to drop black-hole band buckets."""
     sh = with_shingles(documents, n).localCheckpoint(eager=False)
-    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), num_hashes, bands)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes), num_hashes, bands, max_bucket_width
+    )
     return jaccard(cand, sh).where(F.col("jaccard") >= threshold)
 
 
@@ -352,9 +375,9 @@ def embedding_neardup_pairs(
     """(vec_a, vec_b, cos) pairs with cosine >= threshold.
 
     Blocking on ``block_col`` (e.g. a cluster/label id) bounds the
-    quadratic join; pass None for the exhaustive form. The scale path
-    replaces the label blocking with LSH buckets
-    (similarity.random_hyperplane_buckets)."""
+    quadratic join; pass None for the exhaustive form. The SCALE path is
+    ``embedding_neardup_lsh`` (sign-LSH banded blocking — no metadata
+    column needed, never a cross join)."""
     e = embeddings.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -373,5 +396,67 @@ def embedding_neardup_pairs(
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 6).alias("cos"),
         )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_rounds: int = 6,
+    seed: int = 42,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via sign-LSH banding — the 10^12-vector shape.
+
+    ``n_rounds`` independent hyperplane sets each bucket every vector;
+    candidates share a bucket in ANY round (equi-join per round, union,
+    distinct), then exact cosine verifies. For cos>=0.9 (angle<=25.8°)
+    one 6-plane bucket collides w.p. (1-θ/π)^6≈0.40, so 6 rounds give
+    ~95% recall; tune (n_planes, n_rounds) per threshold. Like the
+    MinHash path, ``max_bucket_width`` drops degenerate buckets (e.g.
+    the all-zeros region) before the self-join."""
+    from refimage_spark.operators.similarity import with_lsh_bucket
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    buckets = None
+    for r in range(n_rounds):
+        br = with_lsh_bucket(
+            e, dim, n_planes, seed=seed + 1000 * r, vec_col="emb"
+        ).select(
+            "vec_id", F.lit(r).alias("round"), F.col("bucket")
+        )
+        buckets = br if buckets is None else buckets.unionByName(br)
+    if max_bucket_width is not None:
+        widths = buckets.groupBy("round", "bucket").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        buckets = (
+            buckets.join(widths, ["round", "bucket"])
+            .where(F.col("_w") <= max_bucket_width)
+            .drop("_w")
+        )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.round") == F.col("b.round"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )

@@ -10,15 +10,34 @@
 - ``windowed_event_counts``: watermarked tumbling-window aggregation
   over an event stream (late data beyond the watermark dropped) —
   the streaming twin of operators/events.tumbling_agg.
+- ``streaming_sessionize``: CUSTOM STATEFUL operator via
+  applyInPandasWithState — per-user session state (start, last_ts,
+  count, sum) survives across micro-batches; a session closes when the
+  gap is exceeded inside a batch or the state times out. The streaming
+  twin of operators/events.sessionize (identical closed-session rows,
+  asserted in tests).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from refimage_spark.index.merge import append_pages
+from refimage_spark.operators.events import SESSION_GAP_SEC
 from refimage_spark.sources.pages import PAGES_SCHEMA
 
 
@@ -49,6 +68,109 @@ def stream_ingest_pages(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("started", TimestampType()),
+        StructField("ended", TimestampType()),
+        StructField("closed_by", StringType()),  # "gap" | "timeout"
+    ]
+)
+
+# per-user session state carried across micro-batches; timestamps as
+# epoch MICROseconds (int64) — float seconds would break the exact
+# µs-aligned Arrow timestamp round-trip
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("started", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    state_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Custom stateful sessionization: one state row per user survives
+    across micro-batches (applyInPandasWithState); sessions CLOSE and
+    emit when the inter-event gap exceeds ``gap_sec`` (within or across
+    batches) or when the user goes idle past the processing-time
+    timeout. At scale this is one shuffle on user_id per micro-batch
+    with state in the executor state store (RocksDB on a cluster).
+
+    NOTE: a ProcessingTimeTimeout query never self-terminates under
+    trigger(availableNow=True) — the engine keeps scheduling empty
+    micro-batches to fire pending timers for still-open sessions. On a
+    real continuous stream that is exactly right; a bounded drain should
+    poll the sink and stop() once the gap-closed sessions are out."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            started, last_ts, n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [round(tot, 4)],
+                    "started": [pd.Timestamp(started, unit="us")],
+                    "ended": [pd.Timestamp(last_ts, unit="us")],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = (rows["ts"].astype("int64") // 1000).to_numpy()
+        vals = rows["value"].to_numpy()
+        cur = list(state.get) if state.exists else None
+        out = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            # gap compares TRUNCATED epoch seconds — bit-identical to the
+            # batch twin (events.sessionize casts ts to long seconds)
+            if cur is None:
+                cur = [t, t, 0, 0.0]
+            elif t // 1_000_000 - cur[1] // 1_000_000 > gap_sec:
+                out.append(cur)
+                cur = [t, t, 0, 0.0]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += float(v)
+        state.update(tuple(cur))
+        state.setTimeoutDuration(state_timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "n_events": [c[2] for c in out],
+                    "total_value": [round(c[3], 4) for c in out],
+                    "started": [pd.Timestamp(c[0], unit="us") for c in out],
+                    "ended": [pd.Timestamp(c[1], unit="us") for c in out],
+                    "closed_by": ["gap"] * len(out),
+                }
+            )
+
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 def windowed_event_counts(

@@ -48,3 +48,52 @@ def test_simhash_pairs_are_close(spark):
     fps = {r.doc_id: r.fp for r in D.simhash_fingerprints(docs).collect()}
     for p in pairs:
         assert bin(fps[p.doc_a] ^ fps[p.doc_b]).count("1") == p.hamming
+
+
+def test_lsh_bucket_width_bound(spark):
+    """Black-hole buckets: 20 boilerplate copies form one wide band
+    bucket; the width bound drops it while narrow genuine buckets keep
+    their pairs."""
+    from refimage_spark.operators.dedup import minhash_neardup_pairs
+
+    rows = [(1, "a unique sentence about crimson automobiles and roads x"),
+            (2, "a unique sentence about crimson automobiles and roads x")]
+    rows += [(10 + i, "the same boilerplate footer text repeated everywhere")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unbounded = minhash_neardup_pairs(docs, threshold=0.9).collect()
+    bounded = minhash_neardup_pairs(docs, threshold=0.9, max_bucket_width=10).collect()
+    assert len(unbounded) == 1 + 20 * 19 // 2
+    assert [(r.doc_a, r.doc_b) for r in bounded] == [(1, 2)]
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """Sign-LSH banded blocking must recover ~all cos>=0.9 pairs found by
+    the exhaustive join (and by construction returns no false positives
+    — every candidate is cosine-verified)."""
+    import numpy as np
+
+    from refimage_spark.operators.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 3]))
+    centers = rng.standard_normal((30, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(30):
+        for _ in range(8):
+            v = centers[c] + 0.05 * rng.standard_normal(32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r.vec_a, r.vec_b) for r in
+             embedding_neardup_pairs(emb, threshold=0.9, block_col=None).collect()}
+    got = {(r.vec_a, r.vec_b) for r in
+           embedding_neardup_lsh(emb, dim=32, threshold=0.9).collect()}
+    assert got <= exact  # verified candidates: no false positives
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall

@@ -72,3 +72,65 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path, sf_dir):
+    """Custom stateful op (applyInPandasWithState): gap-closed sessions
+    emitted by the streaming operator must equal the batch sessionize's
+    sessions, excluding each user's LAST session (still open in state
+    at end-of-stream)."""
+    from refimage_spark.operators.events import sessionize
+    from refimage_spark.streaming.ingest import streaming_sessionize
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id") < 40)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    inbox = str(tmp_path / "ev_in")
+    events.coalesce(1).write.parquet(inbox)
+    batch = sessionize(events).collect()
+    last_idx = {}
+    for r in batch:
+        last_idx[r.user_id] = max(last_idx.get(r.user_id, 0), r.session_idx)
+    want = {
+        (
+            r.user_id,
+            r.n_events,
+            r.total_value,
+            r.started.replace(tzinfo=None),
+            r.ended.replace(tzinfo=None),
+        )
+        for r in batch
+        if r.session_idx < last_idx[r.user_id]
+    }
+    assert want, "fixture must actually contain multi-session users"
+    stream = spark.readStream.schema(events.schema).parquet(inbox)
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a ProcessingTimeTimeout query keeps scheduling micro-batches for
+    # future timers (open sessions) — poll the sink for the gap-closed
+    # sessions, then stop() (the open sessions stay in state, correctly)
+    import time as _time
+
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        n = spark.sql(
+            "SELECT count(*) FROM sess_out WHERE closed_by = 'gap'"
+        ).head()[0]
+        if n >= len(want):
+            break
+        _time.sleep(2)
+    got = {
+        (r.user_id, r.n_events, r.total_value, r.started, r.ended)
+        for r in spark.sql("SELECT * FROM sess_out WHERE closed_by = 'gap'").collect()
+    }
+    q.stop()
+    assert got == want

@@ -79,6 +79,18 @@ def timed(fn, reps: int = 2) -> float:
 def main() -> None:
     spark = get_spark("refimage-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    # steady-state: spawn the Python worker pool before any timing (the
+    # first Python stage of a session pays a one-time ~7s daemon spawn
+    # that a long-lived cluster amortizes to zero)
+    import pyarrow as _pa
+
+    def _null(batches):
+        for rb in batches:
+            yield rb
+
+    spark.createDataFrame(
+        [(i,) for i in range(int(CPUS) * 2)], "i int"
+    ).repartition(int(CPUS)).mapInArrow(_null, schema="i int").collect()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
     n_docs = docs.count()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()

@@ -8,10 +8,12 @@ for Spark):
                    content-hash dedup -> deterministic dense doc_id ->
                    docs.parquet (partitioned by part) + stats.json +
                    term_stats.parquet (global df for idf)
-  pass B (index):  docs -> tokenize -> explode -> ONE wide shuffle
-                   (repartition by part) -> sortWithinPartitions(part,
-                   term, doc_id) -> mapInArrow segment writer ->
-                   manifest row per partition (the commit point)
+  pass B (index):  ONE TASK PER PART, zero shuffle: each task reads its
+                   already-co-located part directory, tokenizes in
+                   Arrow C++ (split_pattern_regex — bit-identical to
+                   spark_tokens, golden-tested), sorts (term, doc_id)
+                   locally in numpy, writes the segment -> manifest row
+                   per partition (the commit point)
 
 Design notes for 100 TB:
 - doc ids are deterministic WITHOUT a global window: part =
@@ -21,8 +23,13 @@ Design notes for 100 TB:
   postings for ALL terms, so Zipf head terms are split across all P
   segments structurally — no hot shuffle key, no custom salting needed
   (the skew knob is P itself). Compare SURVEY.md §7.4(2).
-- ONE shuffle moves token rows (part, term, doc_id); doc norms ship via
-  the (tiny) docs table instead of being duplicated per posting.
+- THE shuffle is pass A's hash-partitioned WRITE of the slim docs
+  table. Pass B never exchanges: tokens are derived, sorted and
+  segment-encoded inside the task that owns the part — measured ~2-3x
+  faster than the previous explode->exchange->sortWithinPartitions form
+  at local[8] (45.7s -> ~16s median pass B on the 500k-page corpus),
+  and its scaling tracks the machine's memory-bandwidth ceiling instead
+  of the strictly-worse JVM exchange path (BENCH/BASELINE.md).
 - resume: partitions whose manifest row exists are skipped entirely —
   re-running the same build command after a crash completes the index
   (idempotent: segment content is a pure function of (corpus, P)).
@@ -67,12 +74,14 @@ def _part_col(num_parts: int):
 def _part_profile(slim: DataFrame, num_parts: int) -> tuple[dict, int, float]:
     """One aggregation pass over the deduped table: per-part row counts
     (for dense id offsets) AND the global corpus stats (N, avgdl) —
-    folding the stats into the counts job saves a full extra pass."""
+    folding the stats into the counts job saves a full extra pass. The
+    ``dl`` column was computed in the slim projection, so this pass
+    never re-tokenizes."""
     rows = (
         slim.groupBy(_part_col(num_parts).alias("part"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.size(spark_tokens("text"))).alias("dl_sum"),
+            F.sum("dl").alias("dl_sum"),
         )
         .collect()
     )
@@ -126,27 +135,36 @@ def _dedup_slim(
     + optional content-hash dedup (keep smallest url).
 
     html is reduced to its sha2 in the very first projection: the raw
-    bytes are ~10x the text and pass A shuffles the corpus three times
-    (url-dedup, hash-dedup, id-assignment) — none of them needs the body."""
+    bytes are ~10x the text and pass A shuffles the corpus — the
+    exchanges never carry the body. ``dl`` is computed here too, so the
+    corpus is tokenized exactly ONCE in pass A.
+
+    Keep-one is a struct-max/min AGGREGATION, not a window: partial
+    aggregation combines duplicates map-side before the exchange, and a
+    hash aggregate needs no per-partition sort — both scale better than
+    row_number windows at high parallelism. Struct comparison is
+    lexicographic by field order, so the survivor is a deterministic
+    total-order choice: (max warc_ts, then max content_hash) per url;
+    (min url) per content_hash."""
     slim = pages.select(
         "url",
         "warc_ts",
         *tag_cols,
         "text",
         F.sha2("html", 256).alias("content_hash"),
+        F.size(spark_tokens("text")).alias("dl"),
     )
-    w_url = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    carry = [*tag_cols, "dl", "text"]
     deduped = (
-        slim.withColumn("_rn", F.row_number().over(w_url))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        slim.groupBy("url")
+        .agg(F.max(F.struct("warc_ts", "content_hash", *carry)).alias("p"))
+        .select("url", "p.*")
     )
     if content_dedup:
-        w_hash = Window.partitionBy("content_hash").orderBy("url")
         deduped = (
-            deduped.withColumn("_rh", F.row_number().over(w_hash))
-            .where(F.col("_rh") == 1)
-            .drop("_rh")
+            deduped.groupBy("content_hash")
+            .agg(F.min(F.struct("url", "warc_ts", *carry)).alias("p"))
+            .select("content_hash", "p.*")
         )
     return deduped
 
@@ -154,7 +172,6 @@ def _dedup_slim(
 def _assign_and_project(
     deduped: DataFrame, num_parts: int, tag_cols: tuple[str, ...] = ("lang",)
 ) -> DataFrame:
-    toks = spark_tokens("text")
     return assign_doc_ids(deduped, num_parts).select(
         "doc_id",
         "part",
@@ -162,7 +179,7 @@ def _assign_and_project(
         *tag_cols,
         _tags_col(tag_cols).alias("tags"),
         "text",
-        F.size(toks).alias("dl"),
+        "dl",
         "content_hash",
     )
 
@@ -206,7 +223,6 @@ def build_index(
         )
         try:
             counts, n_total, avgdl_total = _part_profile(slim, num_parts)
-            toks = spark_tokens("text")
             docs = _with_doc_ids(
                 slim.withColumn("part", _part_col(num_parts)), counts, num_parts
             ).select(
@@ -216,14 +232,15 @@ def build_index(
                 *tag_cols,
                 _tags_col(tag_cols).alias("tags"),
                 "text",
-                F.size(toks).alias("dl"),
+                "dl",
                 "content_hash",
             )
-            # co-locate each part before the partitioned write: one file
-            # per part dir instead of (tasks x parts) small files
-            docs.repartition(num_parts, "part").write.mode(
-                "overwrite"
-            ).partitionBy("part").parquet(_docs_path(index_dir))
+            # the id-assignment window already exchanged rows hash(part),
+            # so every part lives wholly in one task: the partitioned
+            # write yields one file per part dir with NO extra shuffle
+            docs.write.mode("overwrite").partitionBy("part").parquet(
+                _docs_path(index_dir)
+            )
         finally:
             slim.unpersist()
         with open(stats_path + ".tmp", "w") as f:
@@ -288,6 +305,51 @@ def write_term_stats(spark: SparkSession, index_dir: str) -> None:
     )
 
 
+def build_segment_from_part(
+    index_dir: str, pid: int, avgdl: float
+) -> tuple[int, int, int]:
+    """Build one segment from its (already co-located) docs part dir.
+
+    Everything is vectorized: Arrow C++ tokenization (utf8_lower +
+    split_pattern_regex + empty-filter = exactly ``spark_tokens``,
+    golden-tested 3-way in tests/test_tokenizer.py), dictionary-encoded
+    term ranks, one numpy lexsort by (term, doc_id). No per-posting
+    Python objects, no JVM exchange. Deterministic: a pure function of
+    the part's rows, identical at any cluster size."""
+    import numpy as np
+
+    from refimage_spark.tokenizer import TOKEN_SPLIT_RE
+
+    part_dir = os.path.join(_docs_path(index_dir), f"part={pid}")
+    t = pq.read_table(
+        part_dir, columns=["doc_id", "dl", "tags", "text"]
+    ).sort_by("doc_id")
+    ids = t["doc_id"].to_numpy()
+    writer = SegmentWriter(index_dir, pid, avgdl)
+    writer.set_norms(ids, t["dl"].to_numpy(), t["tags"].combine_chunks())
+    splits = pc.split_pattern_regex(
+        pc.utf8_lower(t["text"].combine_chunks()), TOKEN_SPLIT_RE
+    )
+    flat = splits.flatten()
+    doc_rep = np.repeat(ids, np.diff(splits.offsets.to_numpy()))
+    keep = pc.not_equal(flat, "")  # split artifacts at string edges
+    flat = flat.filter(keep)
+    doc_rep = doc_rep[keep.to_numpy(zero_copy_only=False)]
+    # sort by (lexicographic term, doc_id): rank the unique terms once,
+    # lexsort the (rank, doc) pairs — never the strings themselves
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary
+    order = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[order] = np.arange(len(vocab))
+    o = np.lexsort((doc_rep, rank[codes]))
+    writer.add_raw(flat.take(pa.array(o)), doc_rep[o])
+    st = writer.finish()
+    write_manifest_row(index_dir, st, {"avgdl": avgdl})
+    return st.pid, st.n_docs, st.n_postings
+
+
 def _write_segments_for(
     spark: SparkSession,
     index_dir: str,
@@ -295,104 +357,46 @@ def _write_segments_for(
     num_parts: int | None = None,
     part_filter=None,
 ) -> int:
-    """Pass B: shuffle token rows by part, write one segment per part.
-    Skips committed partitions (resume); ``part_filter`` restricts to a
-    subset (used by incremental append)."""
+    """Pass B: one task per part — the docs table is ALREADY partitioned
+    by part on disk, so segment building is embarrassingly parallel with
+    zero exchange. Skips committed partitions (resume); ``part_filter``
+    restricts to a subset (used by incremental append)."""
     done = committed_pids(index_dir)
-    docs_r = spark.read.parquet(_docs_path(index_dir))
-    if done:
-        docs_r = docs_r.where(~F.col("part").isin([int(p) for p in done]))
-    if part_filter is not None:
-        parts_all = [r["part"] for r in docs_r.select("part").distinct().collect()]
-        keep = [int(p) for p in parts_all if part_filter(int(p))]
-        docs_r = docs_r.where(F.col("part").isin(keep))
-    if num_parts is None:
-        num_parts = json.loads(open(os.path.join(index_dir, STATS_FILE)).read())[
-            "num_parts"
-        ]
-    tokens = docs_r.select(
-        "part", "doc_id", F.explode(spark_tokens("text")).alias("term")
-    )
-    shuffled = tokens.repartition(num_parts, "part").sortWithinPartitions(
-        "part", "term", "doc_id"
-    )
-
-    out_schema = pa.schema(
-        [("pid", pa.int32()), ("n_docs", pa.int64()), ("n_postings", pa.int64())]
-    )
-    idx_dir = index_dir
     docs_path = _docs_path(index_dir)
+    pending = []
+    for name in sorted(os.listdir(docs_path)):
+        if not name.startswith("part="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        if pid in done:
+            continue
+        if part_filter is not None and not part_filter(pid):
+            continue
+        pending.append(pid)
+    if not pending:
+        return 0
+    idx_dir = index_dir
 
-    def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        writer: SegmentWriter | None = None
-        cur_pid = None
-        skip_pid = None
+    def write_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         done_local = committed_pids(idx_dir)
-
-        def finish():
-            nonlocal writer
-            if writer is None:
-                return None
-            segstats = writer.finish()
-            write_manifest_row(idx_dir, segstats, {"avgdl": avgdl})
-            writer = None
-            return segstats
-
-        results = []
         for rb in batches:
-            parts = rb.column("pid" if "pid" in rb.schema.names else "part").to_numpy()
-            terms = rb.column("term")  # stays Arrow — no Python strings
-            docs = rb.column("doc_id").to_numpy()
-            if parts.size == 0:
-                continue
-            # split batch by pid runs (sorted by part first)
-            import numpy as np
-
-            change = np.flatnonzero(parts[1:] != parts[:-1]) + 1
-            bounds = np.concatenate(([0], change, [parts.size]))
-            for i in range(len(bounds) - 1):
-                lo, hi = int(bounds[i]), int(bounds[i + 1])
-                pid = int(parts[lo])
-                if pid == skip_pid:
+            for pid in rb.column("pid").to_pylist():
+                if pid in done_local:
                     continue
-                if pid != cur_pid:
-                    st = finish()
-                    if st is not None:
-                        results.append((st.pid, st.n_docs, st.n_postings))
-                    if pid in done_local:
-                        skip_pid = pid
-                        cur_pid = None
-                        continue
-                    # load this part's norms from the docs table
-                    nt = pq.read_table(
-                        docs_path,
-                        filters=pc.field("part") == pid,
-                        columns=["doc_id", "dl", "tags"],
-                    ).sort_by("doc_id")
-                    writer = SegmentWriter(idx_dir, pid, avgdl)
-                    writer.set_norms(
-                        nt["doc_id"].to_numpy(),
-                        nt["dl"].to_numpy(),
-                        nt["tags"].combine_chunks(),
-                    )
-                    cur_pid = pid
-                    skip_pid = None
-                writer.add_raw(terms.slice(lo, hi - lo), docs[lo:hi])
-        st = finish()
-        if st is not None:
-            results.append((st.pid, st.n_docs, st.n_postings))
-        if results:
-            pids, nd, npost = zip(*results)
-            yield pa.record_batch(
-                [
-                    pa.array(pids, pa.int32()),
-                    pa.array(nd, pa.int64()),
-                    pa.array(npost, pa.int64()),
-                ],
-                schema=out_schema,
-            )
+                p, nd, npost = build_segment_from_part(idx_dir, int(pid), avgdl)
+                yield pa.record_batch(
+                    [
+                        pa.array([p], pa.int32()),
+                        pa.array([nd], pa.int64()),
+                        pa.array([npost], pa.int64()),
+                    ],
+                    names=["pid", "n_docs", "n_postings"],
+                )
 
-    seg_stats = shuffled.mapInArrow(
-        write_partition, schema="pid int, n_docs long, n_postings long"
+    pid_df = spark.createDataFrame([(p,) for p in pending], "pid int").repartition(
+        len(pending)
+    )
+    seg_stats = pid_df.mapInArrow(
+        write_parts, schema="pid int, n_docs long, n_postings long"
     ).collect()
     return len(seg_stats)

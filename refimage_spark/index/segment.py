@@ -439,8 +439,10 @@ class SegmentReader:
             flat = pc.utf8_lower(tags.flatten()).dictionary_encode()
             codes = flat.indices.to_numpy(zero_copy_only=False)
             vocab = flat.dictionary.to_pylist()
+            # np.unique: a doc listing the same tag twice (e.g. equal
+            # lang and source values) must not break set intersections
             self._tag_map = {
-                v: np.sort(owner[codes == c]) for c, v in enumerate(vocab)
+                v: np.unique(owner[codes == c]) for c, v in enumerate(vocab)
             }
         return self._tag_map.get(tag.lower(), np.empty(0, np.int64))
 

@@ -342,6 +342,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+    # TPC-H Q3 shape: selective dim filter -> broadcast -> fact join ->
+    # agg -> top-k (the canonical pushdown/broadcast/TakeOrdered plan)
+    q["tpch_shipping_priority"] = lambda s, d: (
+        s.read.parquet(f"{d}/lineitem.parquet")
+        .where(F.col("l_shipdate") > F.lit("1998-06-17").cast("timestamp"))
+        .join(
+            s.read.parquet(f"{d}/orders.parquet").where(
+                F.col("o_orderdate") < F.lit("1998-06-17").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                s.read.parquet(f"{d}/customer.parquet").where(
+                    F.col("c_mktsegment") == "BUILDING"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
     q["tpch_top_customers"] = lambda s, d: (
         s.read.parquet(f"{d}/orders.parquet")
         .join(
@@ -627,6 +655,17 @@ def oracle_sql() -> dict[str, str]:
         "round(avg(l_discount), 6) AS avg_disc, "
         "cast(count(*) AS bigint) AS count_order "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+    o["tpch_shipping_priority"] = (
+        "SELECT l_orderkey, o_orderdate, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-06-17' "
+        "AND l_shipdate > TIMESTAMP '1998-06-17' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
     )
     o["tpch_top_customers"] = (
         "SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue "

@@ -130,6 +130,23 @@ def build_lsh_index(
     return meta
 
 
+# serving cache: the resolved lazy scan (file listing + schema) per
+# index dir — rebuilding it per query costs ~0.3s of driver-side file
+# listing over the bucket/cell dirs; the cached plan still prunes
+# partitions per-query via the filter (mtime-keyed: rebuilds invalidate)
+_SCAN_CACHE: dict = {}
+
+
+def _cached_scan(spark: SparkSession, path: str) -> DataFrame:
+    key = (path, os.path.getmtime(path))
+    hit = _SCAN_CACHE.get(key)
+    if hit is None:
+        _SCAN_CACHE[key] = hit = spark.read.parquet(path)
+        for k in [k for k in _SCAN_CACHE if k[0] == path and k != key]:
+            del _SCAN_CACHE[k]
+    return hit
+
+
 def lsh_topk(
     spark: SparkSession,
     index_dir: str,
@@ -143,7 +160,7 @@ def lsh_topk(
     meta = json.load(open(os.path.join(index_dir, "lsh_meta.json")))
     planes = _hyperplanes(meta["dim"], meta["n_planes"], meta["seed"])
     probes = probe_buckets(planes, query_vec, multiprobe)
-    cand = spark.read.parquet(os.path.join(index_dir, "lsh")).where(
+    cand = _cached_scan(spark, os.path.join(index_dir, "lsh")).where(
         F.col("bucket").isin(probes)
     )
     return cosine_topk(cand, query_vec, k=k)
@@ -231,7 +248,7 @@ def ivf_topk(
     qv = np.asarray(query_vec, dtype=np.float64)
     qv = qv / max(np.linalg.norm(qv), 1e-12)
     probe_cells = [int(c) for c in np.argsort(-(cent @ qv))[:nprobe]]
-    cand = spark.read.parquet(os.path.join(index_dir, "ivf")).where(
+    cand = _cached_scan(spark, os.path.join(index_dir, "ivf")).where(
         F.col("cell").isin(probe_cells)
     )
     return cosine_topk(cand, query_vec, k=k)

@@ -318,7 +318,7 @@ def build_segment_from_part(
     the part's rows, identical at any cluster size."""
     import numpy as np
 
-    from refimage_spark.tokenizer import TOKEN_SPLIT_RE
+    from refimage_spark.tokenizer import arrow_token_list
 
     part_dir = os.path.join(_docs_path(index_dir), f"part={pid}")
     t = pq.read_table(
@@ -327,9 +327,7 @@ def build_segment_from_part(
     ids = t["doc_id"].to_numpy()
     writer = SegmentWriter(index_dir, pid, avgdl)
     writer.set_norms(ids, t["dl"].to_numpy(), t["tags"].combine_chunks())
-    splits = pc.split_pattern_regex(
-        pc.utf8_lower(t["text"].combine_chunks()), TOKEN_SPLIT_RE
-    )
+    splits = arrow_token_list(t["text"].combine_chunks())
     flat = splits.flatten()
     doc_rep = np.repeat(ids, np.diff(splits.offsets.to_numpy()))
     keep = pc.not_equal(flat, "")  # split artifacts at string edges

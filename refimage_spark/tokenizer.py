@@ -9,11 +9,21 @@ The reference's analogue is CLIP's internal BPE tokenizer
 We pin a simple deterministic lexical tokenizer instead (SURVEY.md §2.7 F10);
 rank-identity for BM25 is defined against THIS spec.
 
-Three renderings that must stay in lockstep (cross-checked by tests):
+Four renderings that must stay in lockstep (cross-checked by tests,
+including a hypothesis fuzz over unicode):
 - ``spark_tokens(col)``     : native Column expression (JVM, codegen — used
                               in all DataFrame plans; zero Python cost)
 - ``py_tokens(text)``       : plain Python (query compiler, index kernels)
 - ``duckdb_tokens_sql(e)``  : DuckDB SQL fragment (correctness oracles)
+- ``arrow_token_list(arr)`` : Arrow C++ (utf8_lower + split_pattern_regex)
+                              — the zero-shuffle pass B path. Arrow's
+                              utf8_lower is the SIMPLE 1:1 case mapping;
+                              the one unconditional multi-char lowercase
+                              in Unicode (U+0130 İ -> i + combining dot,
+                              which Java/Python produce and which SPLITS
+                              the token) is pre-substituted to match.
+                              Final-sigma context (Σ -> ς vs σ) cannot
+                              affect tokens: both forms are separators.
 """
 
 from __future__ import annotations
@@ -47,3 +57,16 @@ def duckdb_tokens_sql(expr: str) -> str:
         f"list_filter(regexp_split_to_array(lower({expr}), '[^a-z0-9]+'),"
         " t -> t <> '')"
     )
+
+
+def arrow_token_list(arr):
+    """Arrow ListArray of tokens per input string — bit-identical to
+    ``spark_tokens`` (fuzz-tested vs ``py_tokens``). Returns the list
+    array; callers flatten/filter empties as needed."""
+    import pyarrow.compute as pc
+
+    # U+0130: the only unconditional multi-char Unicode lowercase —
+    # Java/Python emit 'i' + U+0307, splitting the token; pre-substitute
+    # so Arrow's simple-mapping utf8_lower agrees
+    arr = pc.replace_substring(arr, "İ", "i̇")
+    return pc.split_pattern_regex(pc.utf8_lower(arr), TOKEN_SPLIT_RE)

@@ -473,6 +473,24 @@ def _query_plan(index_dir: str, query: str):
     return node, avgdl, idfs, pids, tomb
 
 
+_SERVE_POOL = None
+_SERVE_POOL_SIZE = 0
+
+
+def _serve_pool(workers: int):
+    """Shared serving thread pool — created once, reused across queries
+    (a per-query pool spawns/join threads on every call)."""
+    global _SERVE_POOL, _SERVE_POOL_SIZE
+    if _SERVE_POOL is None or _SERVE_POOL_SIZE < workers:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if _SERVE_POOL is not None:
+            _SERVE_POOL.shutdown(wait=False)
+        _SERVE_POOL = ThreadPoolExecutor(max_workers=workers)
+        _SERVE_POOL_SIZE = workers
+    return _SERVE_POOL
+
+
 def search_local(
     index_dir: str,
     query: str,
@@ -482,25 +500,23 @@ def search_local(
 ) -> list[tuple[int, float]]:
     """The SERVING path: evaluate the query against the segment files
     directly — no Spark session, no job dispatch, no driver roundtrip —
-    on a thread pool (numpy/pyarrow release the GIL). Rank-identical to
-    the Spark path (same per-segment kernel, same global merge); this is
-    what a low-latency search tier in front of the index runs. Returns
-    [(doc_id, score)] in (score desc, doc_id asc) order."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    on a shared thread pool (numpy/pyarrow release the GIL).
+    Rank-identical to the Spark path (same per-segment kernel, same
+    global merge); this is what a low-latency search tier in front of
+    the index runs. Returns [(doc_id, score)] in (score desc, doc_id
+    asc) order."""
     node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
     pool = max(1, min(len(pids), workers or os.cpu_count() or 4))
     # the VECTORIZED scorer: WAND's document-at-a-time Python loop would
     # serialize on the GIL across threads (measured 2x slower here)
-    with ThreadPoolExecutor(max_workers=pool) as ex:
-        parts = list(
-            ex.map(
-                lambda p: _segment_topk(
-                    index_dir, p, node, idfs, avgdl, k, threshold, False, tomb
-                ),
-                pids,
-            )
+    parts = list(
+        _serve_pool(pool).map(
+            lambda p: _segment_topk(
+                index_dir, p, node, idfs, avgdl, k, threshold, False, tomb
+            ),
+            pids,
         )
+    )
     ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
     sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
     ids, sc = topk_arrays(ids, sc, k)

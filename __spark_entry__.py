@@ -1,14 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``queries()`` exposes every implemented operator family from SURVEY.md §2
-plus the training-data pipeline ops (40 entries); ``oracle_sql()`` gives
-the DuckDB equivalent for 38 of them (same column names, floats rounded
-identically on both sides — including MinHash/SimHash via an md5-derived
-hash family both engines compute bit-identically, sign-LSH ANN via
-hyperplanes inlined as SQL literals, and the real segment engine via the
-index_* entries). The 2 rows-only entries are the k-means IVF path
-(quantizer not SQL-expressible) and the ann_recall quality gate that
-quantifies both ANN methods against the exact scan.
+plus the training-data pipeline ops; ``oracle_sql()`` gives the DuckDB
+equivalent for every entry (same column names, floats rounded identically
+on both sides — including MinHash/SimHash via an md5-derived hash family
+both engines compute bit-identically, sign-LSH ANN via hyperplanes inlined
+as SQL literals, the k-means IVF path and the ann_recall quality gate via
+the persisted deterministic centroids inlined the same way, and the real
+segment engine via the index_* entries).
 """
 
 from __future__ import annotations
@@ -147,6 +146,29 @@ def _ensure_ann(spark: SparkSession, sf_dir: str) -> str:
     SIM.build_ivf_index(emb, d)
     _ANN_CACHE[sf_dir] = d
     return d
+
+
+def _ivf_centroid_literals() -> str | None:
+    """Replicate build_ivf_index's quantizer training WITHOUT Spark —
+    same deterministic inputs (lowest-id sample of the sf0.01 embeddings,
+    the table the driver's DuckDB views read) through the same seed-pinned
+    _kmeans — and render the centroids as SQL VALUES literals, exactly as
+    the LSH hyperplanes are inlined. Returns None (entry stays rows-only)
+    if the correctness-gate parquet isn't present."""
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01")
+    p = f"{sf}/embeddings.parquet"
+    if not os.path.exists(p):
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(p, columns=["vec_id", "embedding"]).sort_by("vec_id")
+    sample = np.asarray(t["embedding"].to_pylist()[:4096], dtype=np.float64)
+    cent = SIM._kmeans(sample, 16, seed=42)
+    return ", ".join(
+        f"({c}, [{','.join(repr(float(x)) for x in cent[c])}])"
+        for c in range(cent.shape[0])
+    )
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -313,13 +335,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cos", 4).alias("cos")
         )
 
-    q["ann_ivf_topk"] = _ann_ivf  # k-means quantizer: rows-only check
+    # persisted partition-pruned IVF index; oracle replicates the
+    # deterministic quantizer training and inlines the centroids
+    q["ann_ivf_topk"] = _ann_ivf
 
     def _ann_recall(s: SparkSession, d: str) -> DataFrame:
         idx = _ensure_ann(s, d)
         return SIM.ann_recall(s, _emb(s, d), idx, _query_vec(s, d), k=10)
 
-    q["ann_recall"] = _ann_recall  # quality gate vs exact topk: rows-only
+    q["ann_recall"] = _ann_recall  # quality gate vs exact topk, full oracle
     # --- multimodal plumbing (binary column -> Arrow feature extraction) ---
     q["multimodal_features"] = lambda s, d: MM.extract_features(
         _docs(s, d).select("doc_id", F.encode("text", "utf-8").alias("raw")), "raw"
@@ -575,10 +599,11 @@ def oracle_sql() -> dict[str, str]:
     WHERE round(list_sum([a.emb[i] * b.emb[i] for i in range(1, len(a.emb) + 1)])
         / (sqrt(list_sum([x * x for x in a.emb]))
            * sqrt(list_sum([x * x for x in b.emb]))), 6) >= 0.9"""
-    # ann_lsh_topk: the seed-pinned hyperplanes inlined as SQL literals —
-    # DuckDB recomputes every row's sign-LSH bucket, the query bucket,
-    # prunes to hamming<=2, then exact cosine top-k (the same plan the
-    # Spark side executes against the persisted partitioned index)
+    # ANN oracles: every trained-parameter set the Spark side persists is
+    # DETERMINISTIC (seed-pinned hyperplanes; k-means on the lowest-id
+    # sample), so both inline as SQL literals and DuckDB re-executes the
+    # full plan — bucket/cell assignment, probe pruning, exact cosine
+    # top-k — on the same parquet. Shared CTE fragments:
     from refimage_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(64, 8, 42)
@@ -586,25 +611,77 @@ def oracle_sql() -> dict[str, str]:
         f"({j}, [{','.join(repr(float(x)) for x in planes[j])}])"
         for j in range(8)
     )
-    o["ann_lsh_topk"] = f"""WITH e AS (
+    ann_e = """e AS (
       SELECT vec_id, [cast(x AS double) for x in embedding] AS emb
       FROM embeddings),
-    planes AS (SELECT * FROM (VALUES {plane_rows}) t(j, p)),
+    qv AS (SELECT emb AS qe FROM e WHERE vec_id = 0)"""
+    # sign-LSH: per-row bucket, query bucket, hamming<=2 candidate prune
+    ann_lsh_cand = f"""planes AS (SELECT * FROM (VALUES {plane_rows}) t(j, p)),
     b AS (SELECT vec_id, emb,
       sum(CASE WHEN list_sum([emb[i] * p[i] for i in range(1, len(p) + 1)]) > 0
           THEN cast(1 AS bigint) << j ELSE 0 END) AS bucket
       FROM e CROSS JOIN planes GROUP BY vec_id, emb),
     qb AS (SELECT bucket AS q FROM b WHERE vec_id = 0),
-    qv AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
-    cand AS (SELECT b.vec_id, b.emb FROM b CROSS JOIN qb
-      WHERE bit_count(xor(cast(b.bucket AS bigint), cast(qb.q AS bigint))) <= 2),
-    s AS (SELECT vec_id,
+    lsh_cand AS (SELECT b.vec_id, b.emb FROM b CROSS JOIN qb
+      WHERE bit_count(xor(cast(b.bucket AS bigint), cast(qb.q AS bigint))) <= 2)"""
+
+    def _cos_rank(src: str, alias: str) -> str:
+        """Exact cosine of ``src`` rows vs the query vector, the same
+        (round 6, score desc, id asc) total order as cosine_topk."""
+        return f"""{alias} AS (SELECT vec_id,
       round(list_sum([emb[i] * qv.qe[i] for i in range(1, len(emb) + 1)])
         / (sqrt(list_sum([x * x for x in emb]))
            * sqrt(list_sum([x * x for x in qv.qe]))), 6) AS cos6
-      FROM cand CROSS JOIN qv)
+      FROM {src} CROSS JOIN qv)"""
+
+    o["ann_lsh_topk"] = f"""WITH {ann_e},
+    {ann_lsh_cand},
+    {_cos_rank('lsh_cand', 's')}
     SELECT vec_id, round(cos6, 4) AS cos FROM s
     ORDER BY cos6 DESC, vec_id ASC LIMIT 10"""
+
+    # IVF: replicate the quantizer training (operators/similarity.py
+    # build_ivf_index — lowest-id sample, seed-pinned k-means) from the
+    # same parquet DuckDB reads; centroids become VALUES literals. Cell
+    # assignment = argmax dot (normalizing the row is a positive scale —
+    # argmax is unchanged), ties to the lowest cell like np.argmax.
+    cent_rows = _ivf_centroid_literals()
+    if cent_rows is not None:
+        ann_ivf_cand = f"""cent AS (SELECT * FROM (VALUES {cent_rows}) t(c, cv)),
+    cdots AS (SELECT e.vec_id, e.emb, cent.c,
+      list_sum([e.emb[i] * cent.cv[i] for i in range(1, len(cent.cv) + 1)]) AS dot
+      FROM e CROSS JOIN cent),
+    assign AS (SELECT vec_id, emb, c AS cell FROM (
+      SELECT vec_id, emb, c, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn FROM cdots) z
+      WHERE rn = 1),
+    probe AS (SELECT c FROM (
+      SELECT cent.c, list_sum([cent.cv[i] * qv.qe[i]
+        for i in range(1, len(cent.cv) + 1)]) AS dot
+      FROM cent CROSS JOIN qv) z ORDER BY dot DESC, c ASC LIMIT 4),
+    ivf_cand AS (SELECT a.vec_id, a.emb FROM assign a
+      WHERE a.cell IN (SELECT c FROM probe))"""
+        o["ann_ivf_topk"] = f"""WITH {ann_e},
+    {ann_ivf_cand},
+    {_cos_rank('ivf_cand', 's')}
+    SELECT vec_id, round(cos6, 4) AS cos FROM s
+    ORDER BY cos6 DESC, vec_id ASC LIMIT 10"""
+        # recall@10 of each ANN method vs the exact scan — the full
+        # quality-gate computation re-derived in SQL
+        o["ann_recall"] = f"""WITH {ann_e},
+    {ann_lsh_cand},
+    {ann_ivf_cand},
+    {_cos_rank('lsh_cand', 'lsh_s')},
+    {_cos_rank('ivf_cand', 'ivf_s')},
+    {_cos_rank('e', 'ex_s')},
+    lsh_top AS (SELECT vec_id FROM lsh_s ORDER BY cos6 DESC, vec_id ASC LIMIT 10),
+    ivf_top AS (SELECT vec_id FROM ivf_s ORDER BY cos6 DESC, vec_id ASC LIMIT 10),
+    ex_top AS (SELECT vec_id FROM ex_s ORDER BY cos6 DESC, vec_id ASC LIMIT 10)
+    SELECT 'lsh' AS method, round((SELECT count(*) FROM lsh_top
+      WHERE vec_id IN (SELECT vec_id FROM ex_top)) / 10.0, 4) AS recall
+    UNION ALL
+    SELECT 'ivf' AS method, round((SELECT count(*) FROM ivf_top
+      WHERE vec_id IN (SELECT vec_id FROM ex_top)) / 10.0, 4) AS recall"""
     o["multimodal_features"] = (
         "SELECT doc_id, md5(text) AS content_md5, "
         "cast(1.0 AS double) AS feature_norm FROM documents"

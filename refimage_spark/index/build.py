@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from refimage_spark.index.segment import (
+    FORMAT_VERSION,
     SegmentWriter,
     committed_pids,
     read_manifest,
@@ -251,6 +252,7 @@ def build_index(
                     "num_parts": num_parts,
                     "tag_cols": list(tag_cols),
                     "tokenizer": "lower-split-[^a-z0-9]+",
+                    "format_version": FORMAT_VERSION,
                 },
                 f,
             )
@@ -294,8 +296,12 @@ def build_index(
 
 
 def write_term_stats(spark: SparkSession, index_dir: str) -> None:
+    # pathGlobFilter on the real directory, NOT a glob in the path: a
+    # glob path makes Spark's streaming-metadata probe log a full
+    # FileNotFoundException stack (WARN) on every call
     (
-        spark.read.parquet(os.path.join(index_dir, "segments", "*.dict.parquet"))
+        spark.read.option("pathGlobFilter", "*.dict.parquet")
+        .parquet(os.path.join(index_dir, "segments"))
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .repartition(1)

@@ -143,13 +143,18 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     manifest = read_manifest(index_dir)
     pids = [r["partition_id"] for r in manifest]
     idx = index_dir
-    tomb_b = tomb
+    # the tombstone set ships as a PATH, not a closure-captured array:
+    # each task side-reads tombstones.parquet once (shared storage at
+    # cluster scale) — millions of tombstones would otherwise be pickled
+    # into every task closure
+    tomb_path_b = tomb_path
 
     def rewrite(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        drop = pq.read_table(tomb_path_b)["doc_id"].to_numpy()
         for rb in batches:
             for pid in rb.column("pid").to_pylist():
                 writer = _rewrite_segment_filtered(
-                    idx, idx + "/compact_tmp", int(pid), tomb_b, avgdl
+                    idx, idx + "/compact_tmp", int(pid), drop, avgdl
                 )
                 st = writer.finish()
                 write_manifest_row(idx + "/compact_tmp", st, {"avgdl": avgdl})
@@ -176,6 +181,21 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     return {"compacted": int(tomb.size), "segments": len(pids)}
 
 
+def _cleanup_merged_sources(index_dir: str, pids: list[int]) -> None:
+    """Remove superseded source rows/files; tolerant of a concurrent or
+    prior attempt having already removed any of them."""
+    for p in pids:
+        try:
+            os.remove(os.path.join(index_dir, "manifest", f"part-{p:05d}.json"))
+        except FileNotFoundError:
+            pass
+        for f in _glob.glob(os.path.join(index_dir, "segments", f"seg-{p:05d}.*")):
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+
+
 def merge_segments(
     index_dir: str, pids: list[int], new_pid: int | None = None
 ) -> dict:
@@ -198,7 +218,22 @@ def merge_segments(
     orders the combined stream for the writer.
     """
     assert len(pids) >= 2
-    manifest = {r["partition_id"]: r for r in read_manifest(index_dir)}
+    rows = read_manifest(index_dir)
+    # IDEMPOTENCY: a Spark task retry (or a crash-then-rerun) whose prior
+    # attempt already committed the merged row finds its sources
+    # superseded — detect its own commit (merged_from == pids) and skip
+    # straight to cleanup instead of dying on the missing-source assert.
+    pid_set = {int(p) for p in pids}
+    for r in rows:
+        if set(r.get("merged_from") or []) == pid_set:
+            _cleanup_merged_sources(index_dir, pids)
+            return {
+                "merged": pids,
+                "new_pid": r["partition_id"],
+                "n_docs": r["n_docs"],
+                "n_postings": r["n_postings"],
+            }
+    manifest = {r["partition_id"]: r for r in rows}
     for p in pids:
         assert p in manifest, f"segment {p} not in manifest"
     if new_pid is None:
@@ -249,10 +284,7 @@ def merge_segments(
         index_dir, st, {"avgdl": avgdl, "merged_from": [int(p) for p in pids]}
     )
     # cleanup (safe to crash anywhere in here — sources are superseded)
-    for p in pids:
-        os.remove(os.path.join(index_dir, "manifest", f"part-{p:05d}.json"))
-        for f in _glob.glob(os.path.join(index_dir, "segments", f"seg-{p:05d}.*")):
-            os.remove(f)
+    _cleanup_merged_sources(index_dir, pids)
     return {
         "merged": pids,
         "new_pid": new_pid,
@@ -301,10 +333,12 @@ def run_merge_policy(
     on the driver. Query results are identical before/after (stats and
     df never change under merge)."""
     merged_total: list[list[int]] = []
+    n_rounds = 0
     for _ in range(max_rounds):
         plans = plan_merges(index_dir, tier_factor, min_merge, max_merge)
         if not plans:
             break
+        n_rounds += 1
         if spark is not None and len(plans) > 1:
             idx = index_dir
             plan_json = [json.dumps(p) for p in plans]
@@ -332,7 +366,7 @@ def run_merge_policy(
             for p in plans:
                 merge_segments(index_dir, p)
         merged_total.extend(plans)
-    return {"rounds": len(merged_total), "merged_groups": merged_total}
+    return {"rounds": n_rounds, "merged_groups": merged_total}
 
 
 def append_pages(

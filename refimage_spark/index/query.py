@@ -70,8 +70,16 @@ def _cached(kind: str, path: str, loader):
 
 
 def load_stats(index_dir: str) -> dict:
+    from refimage_spark.index.segment import check_format_version
+
     p = os.path.join(index_dir, "stats.json")
-    return _cached("stats", p, lambda: json.load(open(p)))
+
+    def load():
+        st = json.load(open(p))
+        check_format_version(st, p)
+        return st
+
+    return _cached("stats", p, load)
 
 
 def global_df(index_dir: str, terms: list[str]) -> dict[str, int]:
@@ -474,20 +482,25 @@ def _query_plan(index_dir: str, query: str):
 
 
 _SERVE_POOL = None
-_SERVE_POOL_SIZE = 0
+_SERVE_POOL_LOCK = __import__("threading").Lock()
 
 
 def _serve_pool(workers: int):
-    """Shared serving thread pool — created once, reused across queries
-    (a per-query pool spawns/join threads on every call)."""
-    global _SERVE_POOL, _SERVE_POOL_SIZE
-    if _SERVE_POOL is None or _SERVE_POOL_SIZE < workers:
-        from concurrent.futures import ThreadPoolExecutor
+    """Shared serving thread pool — created ONCE (double-checked under a
+    lock: concurrent first queries must not race the check-then-set, and
+    resizing by shutting the old pool down would raise for threads still
+    submitting to it). Sized to cpu_count up front so no resize is ever
+    needed; ThreadPoolExecutor spawns threads lazily, so oversizing is
+    free for small indexes."""
+    global _SERVE_POOL
+    if _SERVE_POOL is None:
+        with _SERVE_POOL_LOCK:
+            if _SERVE_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-        if _SERVE_POOL is not None:
-            _SERVE_POOL.shutdown(wait=False)
-        _SERVE_POOL = ThreadPoolExecutor(max_workers=workers)
-        _SERVE_POOL_SIZE = workers
+                _SERVE_POOL = ThreadPoolExecutor(
+                    max_workers=max(workers, os.cpu_count() or 4)
+                )
     return _SERVE_POOL
 
 

@@ -56,6 +56,22 @@ BLOCK = 128
 # term's docs/tfs region start, so one u32 covers any sane region size
 BLOCK_META_BYTES = 24
 
+# On-disk format version, stamped into stats.json and every manifest row.
+# v2 = 24B/block meta, doc-id gap reset per block, docs sidecar carries
+# the full tag array. Readers refuse mismatched versions with a clear
+# "rebuild required" instead of misparsing block metadata silently.
+FORMAT_VERSION = 2
+
+
+def check_format_version(meta: dict, where: str) -> None:
+    v = meta.get("format_version")
+    if v != FORMAT_VERSION:
+        raise RuntimeError(
+            f"index format version {v!r} in {where} != supported "
+            f"{FORMAT_VERSION}: the index was built by an incompatible "
+            "version — rebuild required"
+        )
+
 DICT_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -473,6 +489,7 @@ def write_manifest_row(index_dir: str, stats: SegmentStats, extra: dict) -> None
         "n_terms": stats.n_terms,
         "bytes": stats.post_bytes,
         "checksum": stats.checksum,
+        "format_version": FORMAT_VERSION,
         **extra,
     }
     with open(path + ".tmp", "w") as f:
@@ -494,8 +511,15 @@ def read_manifest(index_dir: str) -> list[dict]:
     rows = []
     for name in sorted(os.listdir(d)):
         if name.endswith(".json"):
-            with open(os.path.join(d, name)) as f:
-                rows.append(json.load(f))
+            try:
+                with open(os.path.join(d, name)) as f:
+                    rows.append(json.load(f))
+            except FileNotFoundError:
+                # a concurrent merge's cleanup removed the row between
+                # listdir and open — it was superseded anyway; skip
+                continue
+    for r in rows:
+        check_format_version(r, f"manifest row seg-{r.get('partition_id')}")
     superseded: set[int] = set()
     for r in rows:
         superseded.update(r.get("merged_from") or [])

@@ -250,7 +250,10 @@ def minhash_neardup_pairs(
     plan (unlike cache(), nothing leaks in the CacheManager).
 
     Set ``max_bucket_width`` at scale to drop black-hole band buckets."""
-    sh = with_shingles(documents, n).localCheckpoint(eager=False)
+    # eager=True: a lazy checkpoint lets the ORIGINAL plan (and its
+    # accumulators) be GC'd while straggler tasks still report, which
+    # surfaces as a mid-run "non-existent accumulator" SparkException
+    sh = with_shingles(documents, n).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
         minhash_signatures(sh, num_hashes), num_hashes, bands, max_bucket_width
     )

@@ -149,15 +149,31 @@ def sniff_media(raw: bytes) -> tuple[str, int | None, int | None]:
         return "image/gif", w, h
     if raw[:2] == b"\xff\xd8":
         # walk JPEG segments to the first frame header (SOF0..SOF15,
-        # excluding DHT/DAC/RST which share the range)
+        # excluding DHT/DAC which share the range). Legal streams may pad
+        # with extra 0xFF fill bytes between segments, and TEM/RSTn
+        # markers are standalone (no length field) — both must be stepped
+        # over, never length-parsed (a garbage seg_len derails the walk).
         i = 2
         n = len(raw)
-        while i + 9 < n and raw[i] == 0xFF:
+        while i + 1 < n and raw[i] == 0xFF:
+            while i + 1 < n and raw[i + 1] == 0xFF:  # fill bytes
+                i += 1
+            if i + 1 >= n:
+                break
             marker = raw[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI with no SOF seen
+                break
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 >= n:
+                    break
                 h = int.from_bytes(raw[i + 5 : i + 7], "big")
                 w = int.from_bytes(raw[i + 7 : i + 9], "big")
                 return "image/jpeg", w, h
+            if i + 3 >= n:
+                break
             seg_len = int.from_bytes(raw[i + 2 : i + 4], "big")
             i += 2 + max(seg_len, 2)
         return "image/jpeg", None, None

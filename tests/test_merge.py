@@ -166,3 +166,45 @@ def test_merge_segments_preserves_results(spark, small_index):
         got = [(r.doc_id, r.score) for r in
                search_index(spark, small_index, q, k=20).collect()]
         assert got == want, q
+
+
+def test_merge_segments_idempotent_retry(spark, small_index):
+    """A task retry whose prior attempt already committed the merged row
+    (sources superseded) must detect its own commit and finish cleanup
+    instead of failing on the missing sources."""
+    from refimage_spark.index.merge import merge_segments
+
+    before = search_index(spark, small_index, "red car", k=5).collect()
+    pids = [r["partition_id"] for r in read_manifest(small_index)][:2]
+    r1 = merge_segments(small_index, pids)
+    r2 = merge_segments(small_index, pids)  # the "retry"
+    assert r2["new_pid"] == r1["new_pid"]
+    assert r2["n_docs"] == r1["n_docs"]
+    after = search_index(spark, small_index, "red car", k=5).collect()
+    assert [(r.doc_id, r.score) for r in before] == [
+        (r.doc_id, r.score) for r in after
+    ]
+
+
+def test_format_version_gate(spark, small_index):
+    """An index stamped with a foreign format version must fail with a
+    clear 'rebuild required' error, not a misparse."""
+    import os
+
+    from refimage_spark.index.query import _CACHE, load_stats
+
+    p = os.path.join(small_index, "stats.json")
+    st = json.load(open(p))
+    assert st["format_version"] == 2
+    st["format_version"] = 99
+    json.dump(st, open(p, "w"))
+    _CACHE.clear()
+    with pytest.raises(RuntimeError, match="rebuild required"):
+        load_stats(small_index)
+    row_path = os.path.join(small_index, "manifest")
+    name = sorted(os.listdir(row_path))[0]
+    row = json.load(open(os.path.join(row_path, name)))
+    row["format_version"] = 1
+    json.dump(row, open(os.path.join(row_path, name), "w"))
+    with pytest.raises(RuntimeError, match="rebuild required"):
+        read_manifest(small_index)

@@ -121,3 +121,22 @@ def test_media_metadata_mixed_binary_column(spark):
     assert got[3].mime == "image/jpeg" and (got[3].width, got[3].height) == (1920, 1080)
     assert got[4].mime == "text/html" and got[4].width is None
     assert all(got[i].n_bytes == len(bytes(rows[i - 1][1])) for i in got)
+
+
+def test_sniff_jpeg_padding_and_standalone_markers():
+    """0xFF fill bytes between segments and standalone TEM/RSTn markers
+    are legal JPEG — the walk must step over them, not length-parse them."""
+    from refimage_spark.operators.multimodal import sniff_media
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (77).to_bytes(2, "big") + (99).to_bytes(2, "big") + b"\x03" + b"\x00" * 9
+    )
+    # fill bytes before a marker + a standalone TEM + RST1 in the stream
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + app0 + b"\xff\x01" + b"\xff\xd1" + sof0
+    assert sniff_media(padded) == ("image/jpeg", 99, 77)
+    # EOI before any SOF -> dims unknown, never a garbage parse
+    assert sniff_media(b"\xff\xd8" + app0 + b"\xff\xd9" + sof0) == (
+        "image/jpeg", None, None,
+    )

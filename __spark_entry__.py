@@ -254,6 +254,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["metadata_page_by_ts"] = lambda s, d: M.list_documents(
         _ts_docs(s, d), limit=15, offset=5, sort_by="warc_ts", sort_order="desc"
     )
+    # UPDATE by id: NULL keeps existing (reference None semantics); the
+    # 999999 row targets a missing doc and must be a no-op
+    q["metadata_update"] = lambda s, d: M.update_metadata(
+        _docs(s, d),
+        s.createDataFrame(
+            [(7, "xx", "manual"), (13, None, "manual2"),
+             (21, "yy", None), (999999, "zz", "zz")],
+            "doc_id long, lang string, source string",
+        ),
+        set_cols=["lang", "source"],
+    ).where(F.col("doc_id") < 40)
     q["hydrate_topk"] = lambda s, d: M.hydrate(
         _r4(bm25_topk(_corpus(s, d), "spark join window", k=10)),
         _docs(s, d),
@@ -466,6 +477,14 @@ def oracle_sql() -> dict[str, str]:
         "AS warc_ts FROM documents "
         "ORDER BY warc_ts DESC, doc_id ASC LIMIT 15 OFFSET 5"
     )
+    o["metadata_update"] = """WITH u AS (SELECT * FROM (VALUES
+      (7, 'xx', 'manual'), (13, CAST(NULL AS VARCHAR), 'manual2'),
+      (21, 'yy', CAST(NULL AS VARCHAR)), (999999, 'zz', 'zz'))
+      t(doc_id, u_lang, u_source))
+    SELECT d.doc_id, d.text, coalesce(u.u_lang, d.lang) AS lang,
+      coalesce(u.u_source, d.source) AS source, d.n_chars
+    FROM documents d LEFT JOIN u ON d.doc_id = u.doc_id
+    WHERE d.doc_id < 40"""
     o["hydrate_topk"] = (
         f"{_PREFIX}, tk AS (SELECT doc_id, round(score,4) AS score FROM "
         f"({_clause_sql(['spark', 'join', 'window'])}) z "

@@ -146,7 +146,14 @@ def _dedup_slim(
     row_number windows at high parallelism. Struct comparison is
     lexicographic by field order, so the survivor is a deterministic
     total-order choice: (max warc_ts, then max content_hash) per url;
-    (min url) per content_hash."""
+    (min url) per content_hash.
+
+    This linear two-aggregation form shuffles the corpus text twice
+    (once per keep-one agg); the build path uses ``_dedup_slim_build``
+    below, which persists the url-deduped intermediate and applies the
+    content-dedup as a key-only semi-join, so text crosses the wire
+    exactly once. This form stays for the un-persisted callers (append
+    increments are small)."""
     slim = pages.select(
         "url",
         "warc_ts",
@@ -168,6 +175,55 @@ def _dedup_slim(
             .select("content_hash", "p.*")
         )
     return deduped
+
+
+def _dedup_slim_build(
+    pages: DataFrame,
+    content_dedup: bool = True,
+    tag_cols: tuple[str, ...] = ("lang",),
+):
+    """Build-path dedup: corpus text crosses the wire exactly ONCE.
+
+    The url keep-one aggregation (the unavoidable text exchange — texts
+    of one url must meet) lands in a persisted intermediate; the
+    content-dedup decision then needs only (content_hash, url) — a
+    key-only aggregation over the CACHED rows — and applies as a
+    left-semi join whose big side reads the cache already hash(url)-
+    partitioned (no re-exchange; only survivor urls move). The linear
+    form (_dedup_slim) instead shuffled the full text through BOTH
+    aggregations — measured at 500k pages local[8]: 886 MB shuffled ->
+    676 MB (-24%), wall within the VM's noise band. On a real cluster
+    the removed exchange is a corpus-sized NETWORK transfer while the
+    cache write is node-local, so the gap widens with scale.
+
+    Returns (deduped_df, persisted_handles); the caller unpersists the
+    handles once its consumers are done."""
+    from pyspark import StorageLevel
+
+    slim = pages.select(
+        "url",
+        "warc_ts",
+        *tag_cols,
+        "text",
+        F.sha2("html", 256).alias("content_hash"),
+        F.size(spark_tokens("text")).alias("dl"),
+    )
+    carry = [*tag_cols, "dl", "text"]
+    d1 = (
+        slim.groupBy("url")
+        .agg(F.max(F.struct("warc_ts", "content_hash", *carry)).alias("p"))
+        .select("url", "p.*")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if not content_dedup:
+        return d1, [d1]
+    surv_urls = (
+        d1.select("content_hash", "url")
+        .groupBy("content_hash")
+        .agg(F.min("url").alias("url"))
+        .select("url")
+    )
+    return d1.join(surv_urls, "url", "left_semi"), [d1]
 
 
 def _assign_and_project(
@@ -214,14 +270,11 @@ def build_index(
     # ---- pass A: docs + global stats (skipped on resume) --------------------
     t_pass_a = 0.0
     if not os.path.exists(stats_path):
-        # the deduped slim table feeds TWO consumers (per-part counts for
-        # id offsets + the partitioned write); persist it so the 3-window
-        # dedup pipeline runs once, spilling to disk if it outgrows memory
-        from pyspark import StorageLevel
-
-        slim = _dedup_slim(pages, content_dedup, tag_cols).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # the persisted url-dedup intermediate feeds the content-dedup
+        # prepass AND both downstream consumers (per-part counts for id
+        # offsets + the partitioned write) — the corpus text is exchanged
+        # once and cached, spilling to disk if it outgrows memory
+        slim, handles = _dedup_slim_build(pages, content_dedup, tag_cols)
         try:
             counts, n_total, avgdl_total = _part_profile(slim, num_parts)
             docs = _with_doc_ids(
@@ -243,7 +296,8 @@ def build_index(
                 _docs_path(index_dir)
             )
         finally:
-            slim.unpersist()
+            for h in handles:
+                h.unpersist()
         with open(stats_path + ".tmp", "w") as f:
             json.dump(
                 {

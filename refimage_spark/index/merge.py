@@ -369,6 +369,109 @@ def run_merge_policy(
     return {"rounds": n_rounds, "merged_groups": merged_total}
 
 
+def update_doc_tags(
+    spark: SparkSession, index_dir: str, updates: dict[int, list[str]]
+) -> dict:
+    """Attribute-only UPDATE (reference update_metadata,
+    src/refimage/storage.py:439-508, endpoint api.py:738-773): replace the
+    tag array of the given docs in the docs table AND the affected
+    segments' docs sidecar. Postings, stats and df are untouched (tags
+    never participate in scoring), so the cost is O(affected partitions)
+    — unlike the reference, whose only mutation path for indexed fields
+    is a full rebuild.
+
+    - docs table: the affected parts' rows are rewritten via dynamic
+      partition overwrite (untouched part dirs keep their files).
+    - segments: one task per segment; each side-reads the updates
+      parquet, checks membership against its sorted doc ids, and
+      rewrites ONLY its docs sidecar (atomic tmp+rename). The posting
+      file is never opened.
+    """
+    if not updates:
+        return {"updated_docs": 0, "segments_rewritten": 0}
+    up_ids = np.sort(np.fromiter(updates.keys(), np.int64, len(updates)))
+    up_tags = pa.array(
+        [[str(t) for t in updates[int(i)]] for i in up_ids],
+        pa.list_(pa.string()),
+    )
+    up_path = os.path.join(index_dir, "tag_updates.parquet")
+    pq.write_table(pa.table({"doc_id": up_ids, "tags": up_tags}), up_path)
+
+    # 1. docs table: rewrite only the affected part dirs
+    docs_path = os.path.join(index_dir, "docs.parquet")
+    docs = spark.read.parquet(docs_path)
+    u = spark.read.parquet(up_path).withColumnRenamed("tags", "_u_tags")
+    affected = [
+        r["part"]
+        for r in docs.join(F.broadcast(u), "doc_id")
+        .select("part")
+        .distinct()
+        .collect()
+    ]
+    n_updated = 0
+    if affected:
+        n_updated = int(docs.join(F.broadcast(u), "doc_id").count())
+        # localCheckpoint materializes the new rows BEFORE the overwrite
+        # (Spark refuses to overwrite a path its own plan still reads,
+        # and the old files vanish under any lazy plan)
+        new_rows = (
+            docs.where(F.col("part").isin(affected))
+            .join(F.broadcast(u), "doc_id", "left")
+            .withColumn("tags", F.coalesce("_u_tags", "tags"))
+            .drop("_u_tags")
+            .localCheckpoint(eager=True)
+        )
+        (
+            new_rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part")
+            .parquet(docs_path)
+        )
+
+    # 2. segment sidecars: membership-check + rewrite, one task/segment
+    pids = [r["partition_id"] for r in read_manifest(index_dir)]
+    idx = index_dir
+    up_path_b = up_path
+
+    def rewrite(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        ut = pq.read_table(up_path_b)
+        uids = ut["doc_id"].to_numpy()
+        utags = ut["tags"].combine_chunks()
+        for rb in batches:
+            for pid in rb.column("pid").to_pylist():
+                docs_p = seg_paths(idx, int(pid))[2]
+                t = pq.read_table(docs_p)
+                ids = t["doc_id"].to_numpy()
+                pos = np.searchsorted(uids, ids)
+                posc = np.minimum(pos, uids.size - 1)
+                hit = uids[posc] == ids
+                n_hit = int(hit.sum())
+                if n_hit:
+                    repl = utags.take(pa.array(posc))
+                    new_tags = pc.if_else(
+                        pa.array(hit), repl, t["tags"].combine_chunks()
+                    )
+                    out = t.set_column(
+                        t.schema.get_field_index("tags"), "tags", new_tags
+                    )
+                    pq.write_table(out, docs_p + ".tmp", compression="zstd")
+                    os.replace(docs_p + ".tmp", docs_p)
+                yield pa.record_batch(
+                    [pa.array([n_hit], pa.int32())], names=["n"]
+                )
+
+    pid_df = spark.createDataFrame([(p,) for p in pids], "pid int").repartition(
+        min(len(pids), 64)
+    )
+    rewritten = sum(
+        r["n"] > 0 for r in pid_df.mapInArrow(rewrite, schema="n int").collect()
+    )
+    os.remove(up_path)
+    return {"updated_docs": n_updated, "segments_rewritten": int(rewritten)}
+
+
 def append_pages(
     spark: SparkSession, new_pages: DataFrame, index_dir: str
 ) -> dict:

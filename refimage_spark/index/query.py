@@ -49,6 +49,7 @@ K1P1 = BM25_K1 + 1.0
 # ---- serving caches (mtime-keyed: append/compact/delete invalidate) -------
 
 _CACHE: dict = {}
+_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _mtime(path: str) -> float:
@@ -59,13 +60,25 @@ def _mtime(path: str) -> float:
 
 
 def _cached(kind: str, path: str, loader):
+    """Thread-safe: the serving pool hits this concurrently. Bookkeeping
+    is locked; loaders run OUTSIDE the lock (they do IO), so two threads
+    may race the same load — the first insert wins and both use it."""
     key = (kind, path, _mtime(path))
-    hit = _CACHE.get(key)
+    with _CACHE_LOCK:
+        hit = _CACHE.get(key)
     if hit is None:
-        _CACHE[key] = hit = loader()
-        # drop stale generations of the same object
-        for k in [k for k in _CACHE if k[:2] == (kind, path) and k != key]:
-            del _CACHE[k]
+        hit = loader()
+        with _CACHE_LOCK:
+            existing = _CACHE.get(key)
+            if existing is not None:
+                hit = existing
+            else:
+                _CACHE[key] = hit
+                # drop stale generations of the same object
+                for k in [
+                    k for k in list(_CACHE) if k[:2] == (kind, path) and k != key
+                ]:
+                    del _CACHE[k]
     return hit
 
 
@@ -423,13 +436,15 @@ RESULT_SCHEMA = "doc_id long, score double"
 
 
 def _reader(index_dir: str, pid: int) -> SegmentReader:
-    """Serving cache: readers (and their lazily-loaded norms) keyed by the
-    segment file's mtime, so compaction invalidates naturally."""
+    """Serving cache: readers (and their lazily-loaded norms/tag maps)
+    keyed by the DOCS SIDECAR's mtime — every mutation that can change
+    what a cached reader serves (compact, tag update) rewrites the
+    sidecar, while the posting file alone never changes without it."""
     from refimage_spark.index.segment import seg_paths
 
-    post_path = seg_paths(index_dir, pid)[0]
+    docs_path = seg_paths(index_dir, pid)[2]
     return _cached(
-        "reader", post_path, lambda: SegmentReader(index_dir, int(pid))
+        "reader", docs_path, lambda: SegmentReader(index_dir, int(pid))
     )
 
 

@@ -344,6 +344,20 @@ class SegmentReader:
         self._norms: tuple[np.ndarray, np.ndarray, pa.Array] | None = None
         self._dict: dict[str, dict] | None = None
         self._tag_map: dict[str, np.ndarray] | None = None
+        self._mm = None
+
+    def _post_map(self):
+        """mmap of the posting file, opened lazily and kept for the
+        reader's lifetime (readers are mtime-cached by the serving path).
+        Term/block reads become page-cache slices instead of
+        open+seek+read syscall triples — at hundreds of segments per
+        query the open() alone dominated serving latency."""
+        if self._mm is None:
+            import mmap
+
+            with open(self.post_path, "rb") as f:
+                self._mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        return self._mm
 
     def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
         if not terms:  # e.g. no query term exists in the corpus vocabulary
@@ -365,13 +379,11 @@ class SegmentReader:
         return out
 
     def read_term_blobs(self, entry: dict) -> tuple[bytes, bytes]:
-        """Raw encoded docs/tfs regions for one term (one sequential read
-        each; block-lazy decode slices these by the per-block offsets)."""
-        with open(self.post_path, "rb") as f:
-            f.seek(entry["off_docs"])
-            docs_blob = f.read(entry["len_docs"])
-            f.seek(entry["off_tfs"])
-            tfs_blob = f.read(entry["len_tfs"])
+        """Raw encoded docs/tfs regions for one term (two mmap slices;
+        block-lazy decode slices these further by per-block offsets)."""
+        mm = self._post_map()
+        docs_blob = mm[entry["off_docs"] : entry["off_docs"] + entry["len_docs"]]
+        tfs_blob = mm[entry["off_tfs"] : entry["off_tfs"] + entry["len_tfs"]]
         return docs_blob, tfs_blob
 
     def read_postings(self, entry: dict) -> tuple[np.ndarray, np.ndarray]:
@@ -386,9 +398,8 @@ class SegmentReader:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Per-block (last_doc, max_tf, min_dl, doc_boff, tf_boff)."""
         nb = entry["n_blocks"]
-        with open(self.post_path, "rb") as f:
-            f.seek(entry["off_bmax"])
-            raw = f.read(nb * BLOCK_META_BYTES)
+        mm = self._post_map()
+        raw = mm[entry["off_bmax"] : entry["off_bmax"] + nb * BLOCK_META_BYTES]
         last_doc = np.frombuffer(raw[: nb * 8], dtype=np.int64)
         u32 = np.frombuffer(raw[nb * 8 :], dtype=np.uint32)
         return last_doc, u32[:nb], u32[nb : 2 * nb], u32[2 * nb : 3 * nb], u32[3 * nb :]

@@ -70,6 +70,28 @@ def stats_rollup(documents: DataFrame) -> DataFrame:
     )
 
 
+def update_metadata(
+    documents: DataFrame, updates: DataFrame, set_cols: list[str]
+) -> DataFrame:
+    """UPDATE by id (reference update_metadata,
+    src/refimage/storage.py:439-508): set the given attribute columns for
+    the docs named in ``updates``; a NULL update value keeps the existing
+    value (the reference's None-keeps-existing semantics); ids absent
+    from ``documents`` are ignored (reference returns None).
+
+    One broadcast left join + coalesce — the documents scan stays
+    shuffle-free, so this is the expression to feed a MERGE INTO /
+    dynamic-partition-overwrite write at cluster scale (the index-side
+    twin is index.merge.update_doc_tags)."""
+    u = updates.select(
+        "doc_id", *[F.col(c).alias(f"_u_{c}") for c in set_cols]
+    )
+    out = documents.join(F.broadcast(u), "doc_id", "left")
+    for c in set_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"_u_{c}"), F.col(c)))
+    return out.drop(*[f"_u_{c}" for c in set_cols])
+
+
 def parse_tags(col) -> "F.Column":
     """F9 (reference src/refimage/api.py:822-824): comma-split a tag
     string, trim, drop empties — as one JVM expression."""

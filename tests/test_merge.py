@@ -208,3 +208,40 @@ def test_format_version_gate(spark, small_index):
     json.dump(row, open(os.path.join(row_path, name), "w"))
     with pytest.raises(RuntimeError, match="rebuild required"):
         read_manifest(small_index)
+
+
+def test_update_doc_tags_lifecycle(spark, small_index):
+    """Attribute-only UPDATE: tag queries reflect the new tags on both
+    the serving path and the Spark path; scores/postings are untouched."""
+    from refimage_spark.index.merge import merge_segments, update_doc_tags
+    from refimage_spark.index.query import search_index, search_local
+
+    # merge two segments first so the doc->segment mapping is NOT doc->part
+    pids = [r["partition_id"] for r in read_manifest(small_index)][:2]
+    merge_segments(small_index, pids)
+    before = search_local(small_index, "red car", k=5)
+    victim = before[0][0]
+    assert search_local(small_index, "#zzznew", k=5) == []
+    res = update_doc_tags(spark, small_index, {victim: ["zzznew", "en"]})
+    assert res["updated_docs"] == 1 and res["segments_rewritten"] == 1
+    got = [d for d, _ in search_local(small_index, "#zzznew", k=5)]
+    assert got == [victim]
+    got_spark = [
+        r.doc_id
+        for r in search_index(
+            spark, small_index, "#zzznew", k=5, mode="spark"
+        ).collect()
+    ]
+    assert got_spark == [victim]
+    # scores unchanged: tags never participate in scoring
+    assert search_local(small_index, "red car", k=5) == before
+    # docs table agrees
+    import pyspark.sql.functions as SF
+
+    row = (
+        spark.read.parquet(f"{small_index}/docs.parquet")
+        .where(SF.col("doc_id") == victim)
+        .select("tags")
+        .head()
+    )
+    assert sorted(row.tags) == ["en", "zzznew"]

@@ -570,8 +570,12 @@ def search_index(
       parallelism (numpy/pyarrow release the GIL). Spark job dispatch
       costs ~0.5 s/query; a search serving tier reads the segment files
       directly, exactly like this. Results are rank-identical.
-    - "auto": local while the segment count is serving-sized (<=64),
-      spark beyond.
+    - "auto": local while the segment count is serving-sized (<=256),
+      spark beyond. Threshold from measurement (BENCH/BASELINE.md
+      "Serving latency vs segment count": with mmap + cached readers,
+      local beats Spark dispatch up to 256 segments — p50 0.86s vs
+      1.02s at 256; at 512 the per-segment fixed costs cross the
+      ~1s dispatch floor and spark wins).
     """
     node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
     # WAND prunes docs before scoring, so it can't see tombstones that
@@ -580,7 +584,7 @@ def search_index(
     wand = is_pure_text if use_wand is None else (use_wand and is_pure_text)
     idx_dir = index_dir
     if mode == "auto":
-        mode = "local" if len(pids) <= 64 else "spark"
+        mode = "local" if len(pids) <= 256 else "spark"
 
     if mode == "local":
         rows = search_local(

@@ -132,6 +132,21 @@ def main() -> None:
     extras["query_spark_df_sec"] = timed(
         lambda: search_index(spark, idx_dir, INDEX_QUERIES[0], k=10).collect()
     )
+    # serving throughput under concurrency: 8 closed-loop clients each
+    # replaying the reference query set (numpy/pyarrow kernels release
+    # the GIL; the shared pool multiplexes segment tasks across clients)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _client(reps: int = 2) -> int:
+        for _ in range(reps):
+            for q in INDEX_QUERIES:
+                search_local(idx_dir, q, k=10)
+        return reps * len(INDEX_QUERIES)
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as cl:
+        n_q = sum(f.result() for f in [cl.submit(_client) for _ in range(8)])
+    extras["query_qps_8clients"] = round(n_q / (time.perf_counter() - t0), 1)
 
     # --- DataFrame-oracle retrieval query set --------------------------------
     for name, q in QUERY_SET:

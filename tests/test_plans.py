@@ -64,3 +64,40 @@ def test_dsl_not_uses_anti_join(spark, documents):
     corpus = Corpus.from_documents(documents)
     p = plan_str(search(corpus, "table NOT slow", limit=10))
     assert "LeftAnti" in p
+
+
+def test_build_dedup_exchanges_text_once(spark):
+    """_dedup_slim_build's contract: corpus text crosses exactly ONE
+    exchange (the url keep-one agg into the persisted intermediate); the
+    content-dedup applies as a semi-join over the CACHE with no
+    re-exchange of the big side (only survivor urls move)."""
+    from refimage_spark.index.build import _dedup_slim_build
+    from refimage_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 500, seed=42, partitions=4)
+    deduped, handles = _dedup_slim_build(pages, content_dedup=True)
+    try:
+        deduped.count()  # materialize through the cache
+        p = deduped._jdf.queryExecution().executedPlan().toString()
+        # the big side comes from the cache, not a recomputed subtree
+        assert "InMemoryTableScan" in p
+        # exchanges in the POST-cache plan: only the survivor-url side
+        # (keys), never the text-carrying big side
+        post_cache = p.split("InMemoryRelation")[0]
+        assert "Exchange hashpartitioning" not in post_cache, post_cache
+        # and the cached subtree's EXECUTED plan holds the ONE exchange
+        # (the full-row url agg — text travels there and only there; the
+        # AQE dump prints Final + Initial, scan Final only)
+        cached = p.split("InMemoryRelation", 1)[-1]
+        final = cached.split("== Final Plan ==", 1)[-1].split(
+            "== Initial Plan ==", 1
+        )[0]
+        n_ex = sum(
+            1
+            for line in final.splitlines()
+            if "Exchange hashpartitioning" in line
+        )
+        assert n_ex == 1, p
+    finally:
+        for h in handles:
+            h.unpersist()

@@ -223,7 +223,15 @@ def _dedup_slim_build(
         .agg(F.min("url").alias("url"))
         .select("url")
     )
-    return d1.join(surv_urls, "url", "left_semi"), [d1]
+    # persist the JOINED result too: pass A has two consumers (profile +
+    # partitioned write) and the semi-join is only cheap when the
+    # survivor side broadcasts — at corpus scale it merges sorted runs,
+    # which must not run once per consumer. d1 is dropped by the caller
+    # as soon as this cache fills (the profile pass materializes it).
+    joined = d1.join(surv_urls, "url", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return joined, [joined, d1]
 
 
 def _assign_and_project(
@@ -277,6 +285,11 @@ def build_index(
         slim, handles = _dedup_slim_build(pages, content_dedup, tag_cols)
         try:
             counts, n_total, avgdl_total = _part_profile(slim, num_parts)
+            # the profile pass filled the final cache — drop intermediate
+            # caches now (halves peak cache before the write pass)
+            for h in handles[1:]:
+                h.unpersist()
+            handles = handles[:1]
             docs = _with_doc_ids(
                 slim.withColumn("part", _part_col(num_parts)), counts, num_parts
             ).select(

@@ -77,19 +77,20 @@ def test_build_dedup_exchanges_text_once(spark):
     pages = generate_pages(spark, 500, seed=42, partitions=4)
     deduped, handles = _dedup_slim_build(pages, content_dedup=True)
     try:
-        deduped.count()  # materialize through the cache
+        deduped.count()  # materialize through the caches
         p = deduped._jdf.queryExecution().executedPlan().toString()
-        # the big side comes from the cache, not a recomputed subtree
+        # consumers read the final (joined) cache — nothing above it
         assert "InMemoryTableScan" in p
-        # exchanges in the POST-cache plan: only the survivor-url side
-        # (keys), never the text-carrying big side
         post_cache = p.split("InMemoryRelation")[0]
         assert "Exchange hashpartitioning" not in post_cache, post_cache
-        # and the cached subtree's EXECUTED plan holds the ONE exchange
-        # (the full-row url agg — text travels there and only there; the
-        # AQE dump prints Final + Initial, scan Final only)
-        cached = p.split("InMemoryRelation", 1)[-1]
-        final = cached.split("== Final Plan ==", 1)[-1].split(
+        # the INNERMOST cache (the url keep-one agg, where the full rows
+        # incl. text travel) holds exactly ONE exchange — the only
+        # exchange in the whole tree that carries the corpus text (the
+        # joined cache's own exchanges are key-only: the survivor-url
+        # agg and the semi-join's right side). AQE dumps Final+Initial;
+        # scan the Final section only.
+        cached_d1 = p.rsplit("InMemoryRelation", 1)[-1]
+        final = cached_d1.split("== Final Plan ==", 1)[-1].split(
             "== Initial Plan ==", 1
         )[0]
         n_ex = sum(

@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- the real segment engine (index build + WAND / boolean eval) ---
     q["index_bm25_topk"] = lambda s, d: _index_search(s, d, "spark join window")
     q["index_dsl_not"] = lambda s, d: _index_search(s, d, "table scan NOT slow")
+    q["index_dsl_or"] = lambda s, d: _index_search(
+        s, d, "merge sort^0.8 OR hash join^0.6"
+    )
     q["index_dsl_tag"] = lambda s, d: _index_search(s, d, "#en #fr", k=1000)
     q["index_text_tag"] = lambda s, d: _index_search(s, d, "fast query #en")
     # --- metadata table ops (SURVEY §2.1/§2.2: S2, S3, P1-P5, W4, W5) ---
@@ -458,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
     )
     o["index_bm25_topk"] = o["bm25_topk"]  # same semantics, real index engine
     o["index_dsl_not"] = o["dsl_not"]
+    o["index_dsl_or"] = o["dsl_or_weighted"]
     o["index_dsl_tag"] = o["dsl_tag_any"]
     o["index_text_tag"] = o["dsl_text_tag"]
     o["point_lookup"] = "SELECT * FROM documents WHERE doc_id = 42"

@@ -239,3 +239,29 @@ def test_index_stats(spark, index_dir):
     assert st["n_segments"] == N_PARTS
     assert st["n_docs"] > 0 and st["n_postings"] > 0 and st["post_bytes"] > 0
     assert st["tokenizer"] == "lower-split-[^a-z0-9]+"
+
+
+def test_search_local_concurrent_clients(spark, index_dir):
+    """Concurrency regression: many clients sharing the serving pool and
+    the mtime-keyed caches must neither crash (the cache sweep used to
+    race concurrent inserts) nor diverge from the sequential result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from refimage_spark.index.query import _CACHE, search_local
+
+    queries = ["red car", "blue house", "beach sunset NOT person",
+               "sports car AND #en", "car"]
+    _CACHE.clear()  # force every client through cold loads
+    expected = {q: search_local(index_dir, q, k=10) for q in queries}
+    _CACHE.clear()
+
+    def client(i: int):
+        out = {}
+        for q in queries:
+            out[q] = search_local(index_dir, q, k=10)
+        return out
+
+    with ThreadPoolExecutor(16) as ex:
+        results = list(ex.map(client, range(16)))
+    for r in results:
+        assert r == expected

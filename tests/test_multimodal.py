@@ -140,3 +140,24 @@ def test_sniff_jpeg_padding_and_standalone_markers():
     assert sniff_media(b"\xff\xd8" + app0 + b"\xff\xd9" + sof0) == (
         "image/jpeg", None, None,
     )
+
+
+def test_sniff_media_never_crashes_fuzz():
+    """sniff_media must return a (mime, w, h) tuple for ARBITRARY bytes —
+    including adversarial JPEG-prefixed streams that stress the segment
+    walk's bounds handling."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from refimage_spark.operators.multimodal import sniff_media
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def run(raw):
+        for payload in (raw, b"\xff\xd8" + raw):
+            mime, w, h = sniff_media(payload)
+            assert isinstance(mime, str)
+            assert w is None or (isinstance(w, int) and w >= 0)
+            assert h is None or (isinstance(h, int) and h >= 0)
+
+    run()

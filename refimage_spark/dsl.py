@@ -183,3 +183,45 @@ def _apply_weight(node: Node, w: float) -> Node:
     if isinstance(node, Not):
         return Not(_apply_weight(node.base, w), node.exclude)
     return node  # TagFilter: weight is a no-op (unscored)
+
+
+def syntax() -> dict:
+    """DSL syntax reference (rebuild of the reference's static
+    /conversions/dsl-syntax endpoint, src/refimage/api.py:231-267 /
+    DSLSyntaxResponse schemas.py:80-86): version, operator table, and
+    worked examples — each example verified parseable by THIS parser
+    (asserted in tests), so the documentation can never drift from the
+    grammar."""
+    return {
+        "syntax_version": "1.0",
+        "description": "refimage DSL for complex search queries",
+        "operators": {
+            "AND": "Logical AND - all conditions must match",
+            "OR": "Logical OR - any condition can match",
+            "NOT": "Logical NOT - exclude matching results",
+            "^": "Weight operator - adjust relevance (0.0-2.0)",
+            "#": "Tag filter - match specific tags",
+        },
+        "examples": [
+            {
+                "query": "cat #pet",
+                "description": "Find cats with pet tag",
+                "explanation": "Text 'cat' AND tag filter 'pet'",
+            },
+            {
+                "query": "beach sunset NOT person",
+                "description": "Beach sunset without people",
+                "explanation": "Text 'beach sunset' excluding 'person'",
+            },
+            {
+                "query": "red car^0.8 OR blue car^0.6",
+                "description": "Weighted color preferences",
+                "explanation": "Red cars (0.8) OR blue cars (0.6)",
+            },
+            {
+                "query": 'EXCLUDE(TEXT("stream window"), TEXT("batch"))',
+                "description": "Functional form of NOT",
+                "explanation": "Same tree as 'stream window NOT batch'",
+            },
+        ],
+    }

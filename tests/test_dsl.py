@@ -80,3 +80,16 @@ def test_functional_grammar():
 def test_functional_rejects_trailing():
     with pytest.raises(DSLParseError):
         parse('TEXT("a") garbage')
+
+
+def test_syntax_examples_all_parse():
+    """The syntax() reference (S2 parity: /conversions/dsl-syntax) must
+    only document queries the parser actually accepts."""
+    from refimage_spark import dsl
+
+    doc = dsl.syntax()
+    assert doc["syntax_version"] == "1.0"
+    assert set(doc["operators"]) == {"AND", "OR", "NOT", "^", "#"}
+    for ex in doc["examples"]:
+        node = dsl.parse(ex["query"])
+        assert node is not None

@@ -102,3 +102,13 @@ def test_build_dedup_exchanges_text_once(spark):
     finally:
         for h in handles:
             h.unpersist()
+
+
+def test_update_metadata_broadcasts_updates(spark, documents):
+    """UPDATE compiles to ONE broadcast left join — the documents scan
+    never shuffles for an attribute upsert."""
+    u = spark.createDataFrame([(7, "xx")], "doc_id long, lang string")
+    p = plan_str(M.update_metadata(documents, u, set_cols=["lang"]))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" not in p

@@ -196,27 +196,27 @@ def syntax() -> dict:
         "syntax_version": "1.0",
         "description": "refimage DSL for complex search queries",
         "operators": {
-            "AND": "Logical AND - all conditions must match",
-            "OR": "Logical OR - any condition can match",
-            "NOT": "Logical NOT - exclude matching results",
-            "^": "Weight operator - adjust relevance (0.0-2.0)",
-            "#": "Tag filter - match specific tags",
+            "AND": "conjunction: every clause must match",
+            "OR": "disjunction: at least one clause matches",
+            "NOT": "exclusion: drop docs matching the right side",
+            "^": "per-clause relevance weight in [0.0, 2.0]",
+            "#": "tag filter over the doc's tag set",
         },
         "examples": [
             {
                 "query": "cat #pet",
-                "description": "Find cats with pet tag",
-                "explanation": "Text 'cat' AND tag filter 'pet'",
+                "description": "text plus tag constraint",
+                "explanation": "implicit AND of TEXT('cat') and tag 'pet'",
             },
             {
                 "query": "beach sunset NOT person",
-                "description": "Beach sunset without people",
-                "explanation": "Text 'beach sunset' excluding 'person'",
+                "description": "ranked text with an exclusion",
+                "explanation": "docs scoring on 'beach sunset' minus any matching 'person'",
             },
             {
                 "query": "red car^0.8 OR blue car^0.6",
-                "description": "Weighted color preferences",
-                "explanation": "Red cars (0.8) OR blue cars (0.6)",
+                "description": "weighted disjunction",
+                "explanation": "score = 0.8*bm25('red car') + 0.6*bm25('blue car')",
             },
             {
                 "query": 'EXCLUDE(TEXT("stream window"), TEXT("batch"))',

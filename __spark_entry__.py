@@ -129,6 +129,56 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_STREAM_CACHE: dict[str, DataFrame] = {}
+
+
+def _sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the STATEFUL STREAMING sessionizer (applyInPandasWithState,
+    streaming/ingest.py) through a real file-stream replay of the events
+    table and return the gap-closed sessions — the driver's oracle then
+    checks the custom streaming operator itself, not just its batch twin.
+    Each user's LAST session is still open in state at end-of-stream (it
+    would close by processing-time timeout on a live stream), so the
+    result — and the oracle — excludes it."""
+    if sf_dir in _STREAM_CACHE:
+        return _STREAM_CACHE[sf_dir]
+    import tempfile
+
+    from refimage_spark.streaming.ingest import streaming_sessionize
+
+    events = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id") < 40)
+        .select("event_id", "ts", "user_id", "value")
+    )
+    work = tempfile.mkdtemp(prefix="refimage_stream_")
+    inbox = os.path.join(work, "in")
+    events.coalesce(1).write.parquet(inbox)
+    stream = spark.readStream.schema(events.schema).parquet(inbox)
+    sink = "refimage_sess_stream_out"
+    # bounded drain: state_timeout_ms=None registers no processing-time
+    # timers, so the availableNow run self-terminates after the data
+    # batches — no sink polling, no mid-batch stop() aborts
+    q = (
+        streaming_sessionize(stream, state_timeout_ms=None)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql(
+        f"SELECT user_id, n_events, round(total_value, 4) AS total_value, "
+        f"cast(started AS timestamp_ntz) AS started, "
+        f"cast(ended AS timestamp_ntz) AS ended "
+        f"FROM {sink} WHERE closed_by = 'gap'"
+    )
+    _STREAM_CACHE[sf_dir] = out
+    return out
+
+
 _ANN_CACHE: dict[str, str] = {}
 
 
@@ -366,6 +416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["events_windowed_agg"] = lambda s, d: EV.tumbling_agg(_events(s, d))
     q["events_sessionize"] = lambda s, d: EV.sessionize(_events(s, d))
     q["events_running_total"] = lambda s, d: EV.running_total(_events(s, d))
+    # stateful STREAMING sessionize, driven end-to-end (file-stream
+    # replay -> applyInPandasWithState -> memory sink); oracle = the
+    # batch gaps-and-islands SQL minus each user's still-open last session
+    q["events_sessionize_stream"] = _sessionize_stream
     # --- relational coverage over the star schema (join/agg/window) ---
     q["tpch_pricing_summary"] = lambda s, d: (
         s.read.parquet(f"{d}/lineitem.parquet")
@@ -742,6 +796,29 @@ def oracle_sql() -> dict[str, str]:
       round(sum(value), 4) AS total_value,
       min(ts) AS started, max(ts) AS ended
     FROM s GROUP BY user_id, session_idx"""
+    o["events_sessionize_stream"] = """WITH f AS (
+      SELECT * FROM events WHERE user_id < 40),
+    g AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             OR lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM f),
+    s AS (SELECT user_id, ts, value,
+        cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS bigint) AS session_idx
+      FROM g),
+    agg AS (SELECT user_id, session_idx,
+        cast(count(*) AS bigint) AS n_events,
+        round(sum(value), 4) AS total_value,
+        min(ts) AS started, max(ts) AS ended
+      FROM s GROUP BY user_id, session_idx)
+    SELECT user_id, n_events, total_value, started, ended
+    FROM agg
+    WHERE session_idx < (SELECT max(session_idx) FROM agg a2
+                         WHERE a2.user_id = agg.user_id)"""
     o["events_running_total"] = (
         "SELECT user_id, event_id, round(sum(value) OVER ("
         "PARTITION BY user_id ORDER BY ts, event_id "

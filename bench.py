@@ -133,11 +133,21 @@ def main() -> None:
         lambda: search_index(spark, idx_dir, INDEX_QUERIES[0], k=10).collect()
     )
     # serving throughput under concurrency: 8 closed-loop clients each
-    # replaying the reference query set (numpy/pyarrow kernels release
-    # the GIL; the shared pool multiplexes segment tasks across clients)
+    # replaying the reference query set. Under load each query runs as
+    # ONE process-pool task (the kernel is GIL-bound, so threads can't
+    # scale aggregate qps); the pool is warmed first — the one-time
+    # worker import + cache load a long-lived serving tier pays at
+    # startup, not per query.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _client(reps: int = 2) -> int:
+    from refimage_spark.index.query import warm_serving_pool
+
+    warm_serving_pool(idx_dir)
+    extras["query_qps_1client"] = round(
+        len(INDEX_QUERIES) / sum(lat), 1
+    )
+
+    def _client(reps: int = 4) -> int:
         for _ in range(reps):
             for q in INDEX_QUERIES:
                 search_local(idx_dir, q, k=10)

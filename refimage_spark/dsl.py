@@ -194,34 +194,37 @@ def syntax() -> dict:
     grammar."""
     return {
         "syntax_version": "1.0",
-        "description": "refimage DSL for complex search queries",
+        "description": (
+            "query grammar for BM25 retrieval over the web-page index: "
+            "free text ranks, operators compose, #tags restrict"
+        ),
         "operators": {
             "AND": "conjunction: every clause must match",
             "OR": "disjunction: at least one clause matches",
             "NOT": "exclusion: drop docs matching the right side",
             "^": "per-clause relevance weight in [0.0, 2.0]",
-            "#": "tag filter over the doc's tag set",
+            "#": "tag filter over the doc's tag set (language, source)",
         },
         "examples": [
             {
-                "query": "cat #pet",
-                "description": "text plus tag constraint",
-                "explanation": "implicit AND of TEXT('cat') and tag 'pet'",
+                "query": "shuffle partition #en",
+                "description": "ranked text restricted to English pages",
+                "explanation": "implicit AND of TEXT('shuffle partition') and tag 'en'",
             },
             {
-                "query": "beach sunset NOT person",
+                "query": "index merge NOT tombstone",
                 "description": "ranked text with an exclusion",
-                "explanation": "docs scoring on 'beach sunset' minus any matching 'person'",
+                "explanation": "docs scoring on 'index merge' minus any matching 'tombstone'",
             },
             {
-                "query": "red car^0.8 OR blue car^0.6",
+                "query": "broadcast join^1.5 OR sort merge join^0.5",
                 "description": "weighted disjunction",
-                "explanation": "score = 0.8*bm25('red car') + 0.6*bm25('blue car')",
+                "explanation": "score = 1.5*bm25('broadcast join') + 0.5*bm25('sort merge join')",
             },
             {
                 "query": 'EXCLUDE(TEXT("stream window"), TEXT("batch"))',
-                "description": "Functional form of NOT",
-                "explanation": "Same tree as 'stream window NOT batch'",
+                "description": "functional form of NOT",
+                "explanation": "same tree as 'stream window NOT batch'",
             },
         ],
     }

@@ -29,14 +29,17 @@ from __future__ import annotations
 import heapq
 import json
 import os
-from typing import Iterator
+import threading
+from typing import TYPE_CHECKING, Iterator
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pyspark is imported lazily (inside search_index):
+    from pyspark.sql import DataFrame, SparkSession  # serving worker
+    # processes import this module and must not pay the pyspark import.
 
 from refimage_spark import dsl
 from refimage_spark.index.codec import varbyte_decode
@@ -49,7 +52,7 @@ K1P1 = BM25_K1 + 1.0
 # ---- serving caches (mtime-keyed: append/compact/delete invalidate) -------
 
 _CACHE: dict = {}
-_CACHE_LOCK = __import__("threading").Lock()
+_CACHE_LOCK = threading.Lock()
 
 
 def _mtime(path: str) -> float:
@@ -73,12 +76,21 @@ def _cached(kind: str, path: str, loader):
             if existing is not None:
                 hit = existing
             else:
-                _CACHE[key] = hit
-                # drop stale generations of the same object
-                for k in [
-                    k for k in list(_CACHE) if k[:2] == (kind, path) and k != key
-                ]:
-                    del _CACHE[k]
+                # a slow loader for an OLD generation must not insert
+                # after a newer generation was cached (its sweep would
+                # evict the fresh entry and force a pointless reload)
+                newer = any(
+                    k[:2] == (kind, path) and k[2] > key[2] for k in _CACHE
+                )
+                if not newer:
+                    _CACHE[key] = hit
+                    # drop stale generations of the same object
+                    for k in [
+                        k
+                        for k in list(_CACHE)
+                        if k[:2] == (kind, path) and k != key
+                    ]:
+                        del _CACHE[k]
     return hit
 
 
@@ -497,26 +509,107 @@ def _query_plan(index_dir: str, query: str):
 
 
 _SERVE_POOL = None
-_SERVE_POOL_LOCK = __import__("threading").Lock()
+_SERVE_POOL_LOCK = threading.Lock()
+_ACTIVE_QUERIES = 0
+_ACTIVE_LOCK = threading.Lock()
+
+# Per-segment kernel cost is ~0.5 ms (mmap + cached readers), so one
+# in-process sequential sweep beats any fan-out up to ~128 segments:
+# the kernel is small-array numpy that barely releases the GIL, which
+# makes THREAD fan-out strictly counterproductive (measured 12x slower
+# at 32 segments — futures overhead + GIL convoy), and process fan-out
+# only pays off once a query sweeps enough segments to amortize
+# ~2 ms/chunk of IPC (measured crossover: inline p50 0.17s at 256
+# segments vs 0.06s pooled at 512 — BENCH/BASELINE.md).
+_INLINE_MAX_SEGMENTS = 128
+_CHUNK_TARGET = 64  # pids per process-pool chunk (~30 ms of kernel work)
 
 
-def _serve_pool(workers: int):
-    """Shared serving thread pool — created ONCE (double-checked under a
-    lock: concurrent first queries must not race the check-then-set, and
-    resizing by shutting the old pool down would raise for threads still
-    submitting to it). Sized to cpu_count up front so no resize is ever
-    needed; ThreadPoolExecutor spawns threads lazily, so oversizing is
-    free for small indexes."""
+def _serve_pool():
+    """Shared serving PROCESS pool — created once (double-checked under
+    a lock), sized purely from os.cpu_count(). Processes, not threads:
+    the per-segment kernel is GIL-bound small-array numpy, so threads
+    cannot scale aggregate throughput (measured: 8 threaded clients =
+    1 client's qps). Each worker imports the Spark-free kernel modules
+    and keeps its own mtime-keyed caches; segment files are mmap'd so
+    the page cache is shared across workers."""
     global _SERVE_POOL
     if _SERVE_POOL is None:
         with _SERVE_POOL_LOCK:
             if _SERVE_POOL is None:
-                from concurrent.futures import ThreadPoolExecutor
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor
 
-                _SERVE_POOL = ThreadPoolExecutor(
-                    max_workers=max(workers, os.cpu_count() or 4)
+                # forkserver: workers fork from a clean server process
+                # (never from this possibly-threaded, possibly-JVM-
+                # attached one), then import this module WITHOUT pyspark
+                _SERVE_POOL = ProcessPoolExecutor(
+                    max_workers=os.cpu_count() or 4,
+                    mp_context=multiprocessing.get_context("forkserver"),
                 )
     return _SERVE_POOL
+
+
+def _serve_chunk(
+    index_dir: str, query: str, k: int, threshold: float, pids: list[int]
+):
+    """Process-pool worker: evaluate a slice of segments sequentially.
+    Re-plans from the query string (worker-local mtime-keyed caches make
+    that ~0.1 ms warm) so only tiny picklables cross the IPC boundary."""
+    node, avgdl, idfs, _, tomb = _query_plan(index_dir, query)
+    return _merge_parts(
+        [
+            _segment_topk(
+                index_dir, p, node, idfs, avgdl, k, threshold, False, tomb
+            )
+            for p in pids
+        ],
+        k,
+    )
+
+
+def _merge_parts(parts, k: int):
+    ids = (
+        np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    )
+    sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
+    return topk_arrays(ids, sc, k)
+
+
+def warm_serving_pool(index_dir: str | None = None) -> None:
+    """Serving-tier startup warmup: pre-import the kernel modules in the
+    pool workers (one-time ~0.3 s/worker of numpy/pyarrow) and, given an
+    ``index_dir``, populate each worker's reader/dict/stats caches by
+    running a throwaway sweep — the process-pool analogue of loading a
+    replica before taking traffic. Optional; the first queries on a cold
+    worker pay the same cost lazily otherwise."""
+    n = os.cpu_count() or 4
+    pool = _serve_pool()
+    if index_dir is None:
+        list(pool.map(_mtime, ["/"] * (n * 4), chunksize=1))
+        return
+    pids = sorted(
+        r["partition_id"]
+        for r in _cached(
+            "manifest",
+            os.path.join(index_dir, "manifest"),
+            lambda: read_manifest(index_dir),
+        )
+    )
+    # the warm query must actually score postings (an absent term would
+    # short-circuit before the dict/norms loads) — use the head term
+    ts = pq.read_table(
+        os.path.join(index_dir, "term_stats.parquet"), columns=["term", "df"]
+    )
+    head_term = ts["term"][int(pc.index(ts["df"], pc.max(ts["df"])).as_py())]
+    # oversubmit so idle workers (not any particular worker) each pick
+    # up at least one full sweep with high probability
+    futs = [
+        pool.submit(_serve_chunk, index_dir, str(head_term), 1, 0.0, pids)
+        for _ in range(n * 2)
+    ]
+    for f in futs:
+        f.result()
 
 
 def search_local(
@@ -527,27 +620,56 @@ def search_local(
     workers: int | None = None,
 ) -> list[tuple[int, float]]:
     """The SERVING path: evaluate the query against the segment files
-    directly — no Spark session, no job dispatch, no driver roundtrip —
-    on a shared thread pool (numpy/pyarrow release the GIL).
+    directly — no Spark session, no job dispatch, no driver roundtrip.
     Rank-identical to the Spark path (same per-segment kernel, same
     global merge); this is what a low-latency search tier in front of
     the index runs. Returns [(doc_id, score)] in (score desc, doc_id
-    asc) order."""
-    node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
-    pool = max(1, min(len(pids), workers or os.cpu_count() or 4))
-    # the VECTORIZED scorer: WAND's document-at-a-time Python loop would
-    # serialize on the GIL across threads (measured 2x slower here)
-    parts = list(
-        _serve_pool(pool).map(
-            lambda p: _segment_topk(
-                index_dir, p, node, idfs, avgdl, k, threshold, False, tomb
-            ),
-            pids,
-        )
-    )
-    ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-    sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
-    ids, sc = topk_arrays(ids, sc, k)
+    asc) order.
+
+    Load-adaptive execution (the kernel is GIL-bound, so all
+    parallelism is process-based):
+    - lone query over a serving-sized index: inline sequential sweep —
+      lowest latency, zero IPC (~0.5 ms/segment warm);
+    - concurrent queries: each query becomes ONE process-pool task, so
+      aggregate qps scales with cores instead of queries queueing
+      behind a shared saturated pool;
+    - huge segment counts: the sweep is split into pid chunks fanned
+      across the pool, with the per-query chunk budget shrunk by the
+      number of in-flight queries (floor 1) — admission control that
+      trades lone-query latency for aggregate throughput under load.
+    ``workers`` caps the per-query fan-out (a concurrency hint; the
+    shared pool itself is always sized from os.cpu_count())."""
+    global _ACTIVE_QUERIES
+    with _ACTIVE_LOCK:
+        _ACTIVE_QUERIES += 1
+        active = _ACTIVE_QUERIES
+    try:
+        node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
+        if active == 1 and len(pids) <= _INLINE_MAX_SEGMENTS:
+            parts = [
+                _segment_topk(
+                    index_dir, p, node, idfs, avgdl, k, threshold, False, tomb
+                )
+                for p in pids
+            ]
+            ids, sc = _merge_parts(parts, k)
+        else:
+            pool = _serve_pool()
+            budget = max(1, (os.cpu_count() or 4) // active)
+            if workers is not None:
+                budget = max(1, min(budget, workers))
+            n_chunks = max(
+                1, min(budget, (len(pids) + _CHUNK_TARGET - 1) // _CHUNK_TARGET)
+            )
+            chunks = [pids[i::n_chunks] for i in range(n_chunks)]
+            futs = [
+                pool.submit(_serve_chunk, index_dir, query, k, threshold, c)
+                for c in chunks
+            ]
+            ids, sc = _merge_parts([f.result() for f in futs], k)
+    finally:
+        with _ACTIVE_LOCK:
+            _ACTIVE_QUERIES -= 1
     return [(int(d), float(s)) for d, s in zip(ids, sc)]
 
 
@@ -570,13 +692,19 @@ def search_index(
       parallelism (numpy/pyarrow release the GIL). Spark job dispatch
       costs ~0.5 s/query; a search serving tier reads the segment files
       directly, exactly like this. Results are rank-identical.
-    - "auto": local while the segment count is serving-sized (<=256),
-      spark beyond. Threshold from measurement (BENCH/BASELINE.md
-      "Serving latency vs segment count": with mmap + cached readers,
-      local beats Spark dispatch up to 256 segments — p50 0.86s vs
-      1.02s at 256; at 512 the per-segment fixed costs cross the
-      ~1s dispatch floor and spark wins).
+    - "auto": local while the segment count is serving-sized (<=2048),
+      spark beyond. Threshold from measurement, judged on p95 as well
+      as p50 (BENCH/BASELINE.md "Serving latency vs segment count"):
+      the adaptive local path — inline <=128 segments, chunked
+      process-pool fan-out beyond — holds p95 <= 0.25s at every
+      measured count up to 2048, while Spark job dispatch alone costs
+      1-3s. 2048 is the largest MEASURED point, not an extrapolation,
+      so auto hands off to spark past it (a 10^4+-segment index also
+      stops fitting one serving node's page cache, which is what
+      actually ends the local regime at scale).
     """
+    from pyspark.sql import functions as F
+
     node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
     # WAND prunes docs before scoring, so it can't see tombstones that
     # would free top-k slots — fall back to the exact full-eval path then.
@@ -584,7 +712,7 @@ def search_index(
     wand = is_pure_text if use_wand is None else (use_wand and is_pure_text)
     idx_dir = index_dir
     if mode == "auto":
-        mode = "local" if len(pids) <= 256 else "spark"
+        mode = "local" if len(pids) <= 2048 else "spark"
 
     if mode == "local":
         rows = search_local(

@@ -97,7 +97,7 @@ SESSION_STATE_SCHEMA = StructType(
 def streaming_sessionize(
     events_stream: DataFrame,
     gap_sec: int = SESSION_GAP_SEC,
-    state_timeout_ms: int = 60_000,
+    state_timeout_ms: int | None = 60_000,
 ) -> DataFrame:
     """Custom stateful sessionization: one state row per user survives
     across micro-batches (applyInPandasWithState); sessions CLOSE and
@@ -109,8 +109,11 @@ def streaming_sessionize(
     NOTE: a ProcessingTimeTimeout query never self-terminates under
     trigger(availableNow=True) — the engine keeps scheduling empty
     micro-batches to fire pending timers for still-open sessions. On a
-    real continuous stream that is exactly right; a bounded drain should
-    poll the sink and stop() once the gap-closed sessions are out."""
+    real continuous stream that is exactly right. For a BOUNDED drain
+    (replay a finite table, collect the gap-closed sessions) pass
+    ``state_timeout_ms=None``: no timers are registered, the availableNow
+    run terminates by itself after the data batches, and each user's
+    still-open last session simply stays in state."""
 
     def fn(
         key: tuple,
@@ -150,7 +153,8 @@ def streaming_sessionize(
             cur[2] += 1
             cur[3] += float(v)
         state.update(tuple(cur))
-        state.setTimeoutDuration(state_timeout_ms)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
         if out:
             yield pd.DataFrame(
                 {
@@ -169,7 +173,11 @@ def streaming_sessionize(
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -29,9 +29,12 @@ including a hypothesis fuzz over unicode):
 from __future__ import annotations
 
 import re
+from typing import TYPE_CHECKING
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
+if TYPE_CHECKING:  # pyspark is imported lazily: the serving tier
+    from pyspark.sql import Column  # (index/query.py worker processes)
+    # must be able to import the kernel modules without paying the
+    # multi-second pyspark import — only spark_tokens needs it.
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 _PY_SPLIT = re.compile(TOKEN_SPLIT_RE)
@@ -43,6 +46,8 @@ BM25_B = 0.75
 
 def spark_tokens(col: Column | str) -> Column:
     """array<string> of tokens — pure built-in functions, stays in codegen."""
+    from pyspark.sql import functions as F
+
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda x: x != F.lit(""))
 

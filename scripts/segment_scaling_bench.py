@@ -22,7 +22,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from refimage_spark.index.build import build_index
-from refimage_spark.index.query import search_index, search_local
+from refimage_spark.index.query import (
+    search_index,
+    search_local,
+    warm_serving_pool,
+)
 from refimage_spark.session import get_spark
 from refimage_spark.sources.pages import generate_pages
 
@@ -38,7 +42,7 @@ QUERIES = [
     "car",
     "mountain river train engine",
 ]
-PARTS = [32, 128, 256, 512]
+PARTS = [32, 128, 256, 512, 1024, 2048]
 REPS = 3
 
 
@@ -59,6 +63,7 @@ def main() -> None:
         d = tempfile.mkdtemp(prefix=f"segscale_{P}_")
         build_index(spark, pages, d, num_parts=P)
         search_local(d, QUERIES[0], k=10)  # warm readers/dicts/stats
+        warm_serving_pool(d)  # tier startup: warm pool-worker caches
         lat = []
         for _ in range(REPS):
             for q in QUERIES:

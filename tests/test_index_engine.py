@@ -265,3 +265,23 @@ def test_search_local_concurrent_clients(spark, index_dir):
         results = list(ex.map(client, range(16)))
     for r in results:
         assert r == expected
+
+
+def test_search_local_process_path_identity(spark, index_dir, monkeypatch):
+    """The load-adaptive serving path has two executions: inline
+    sequential (lone query) and chunked process-pool fan-out (under
+    load / huge indexes). Force the pool path for every query and
+    assert it is result-identical to inline — and that the chunking
+    covers all segments (a dropped pid chunk would silently lose
+    docs, not error)."""
+    from refimage_spark.index import query as Q
+
+    queries = ["red car", "fast car #en", "beach sunset NOT person", "car"]
+    inline = {q: Q.search_local(index_dir, q, k=10) for q in queries}
+    Q.warm_serving_pool(index_dir)
+    # force the pooled path: pretend every index is too big to inline,
+    # and chunk at 3 pids so an 8-segment index needs 3 chunks
+    monkeypatch.setattr(Q, "_INLINE_MAX_SEGMENTS", 0)
+    monkeypatch.setattr(Q, "_CHUNK_TARGET", 3)
+    pooled = {q: Q.search_local(index_dir, q, k=10) for q in queries}
+    assert pooled == inline

@@ -393,7 +393,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # from the same seed-pinned hyperplanes inlined as SQL literals
     q["ann_lsh_topk"] = _ann
 
+    def _assert_ivf_oracle_dir(d: str) -> None:
+        """The IVF oracle's centroid literals are trained from
+        $SPARK_GRAFT_SF_DIR_CORRECTNESS while the Spark-side index trains
+        on this query's sf_dir — if the gate ever runs on a different
+        scale factor, fail HERE with a clear message instead of a
+        hash-mismatch that looks like an engine bug."""
+        env = os.environ.get(
+            "SPARK_GRAFT_SF_DIR_CORRECTNESS", "/root/testdata/sf0.01"
+        )
+        if os.path.realpath(d) != os.path.realpath(env):
+            raise RuntimeError(
+                f"IVF oracle centroids train on {env} but the query runs "
+                f"on {d}; set SPARK_GRAFT_SF_DIR_CORRECTNESS={d} so both "
+                "sides train the quantizer on the same sample"
+            )
+
     def _ann_ivf(s: SparkSession, d: str) -> DataFrame:
+        _assert_ivf_oracle_dir(d)
         idx = _ensure_ann(s, d)
         return SIM.ivf_topk(s, idx, _query_vec(s, d), k=10).select(
             "vec_id", F.round("cos", 4).alias("cos")
@@ -404,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = _ann_ivf
 
     def _ann_recall(s: SparkSession, d: str) -> DataFrame:
+        _assert_ivf_oracle_dir(d)
         idx = _ensure_ann(s, d)
         return SIM.ann_recall(s, _emb(s, d), idx, _query_vec(s, d), k=10)
 

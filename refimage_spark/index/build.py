@@ -363,19 +363,42 @@ def build_index(
 
 
 def write_term_stats(spark: SparkSession, index_dir: str) -> None:
-    # pathGlobFilter on the real directory, NOT a glob in the path: a
-    # glob path makes Spark's streaming-metadata probe log a full
-    # FileNotFoundException stack (WARN) on every call
+    """Global df = sum of per-segment dict dfs.
+
+    ATOMIC for concurrent readers: spark's mode("overwrite") deletes
+    the target before writing — a serving query reading mid-refresh
+    would see a partial or schema-less table — so the aggregation lands
+    in a scratch dir and its single sorted part file is os.replace'd
+    over term_stats.parquet (now a plain file, not a spark directory).
+
+    Inputs come from the MANIFEST's dict paths, not a directory glob:
+    superseded-but-not-yet-cleaned segment files (merge/compact crash
+    window) must not double-count df."""
+    import glob as _glob
+    import shutil
+
+    from refimage_spark.index.segment import read_manifest, seg_paths
+
+    dicts = [
+        seg_paths(index_dir, r["partition_id"])[1]
+        for r in read_manifest(index_dir)
+    ]
+    dst = _term_stats_path(index_dir)
+    scratch = dst + ".build"
     (
-        spark.read.option("pathGlobFilter", "*.dict.parquet")
-        .parquet(os.path.join(index_dir, "segments"))
+        spark.read.parquet(*dicts)
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .repartition(1)
         .sortWithinPartitions("term")
         .write.mode("overwrite")
-        .parquet(_term_stats_path(index_dir))
+        .parquet(scratch)
     )
+    part = _glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)  # one-time migration from the directory layout
+    os.replace(part, dst)
+    shutil.rmtree(scratch)
 
 
 def build_segment_from_part(

@@ -33,6 +33,7 @@ no np.repeat re-expansion of tf runs.
 
 from __future__ import annotations
 
+import contextlib
 import glob as _glob
 import json
 import os
@@ -55,19 +56,67 @@ from refimage_spark.index.segment import (
 )
 
 TOMBSTONES = "tombstones.parquet"
+MAINT_LOCK = ".maintenance.lock"
+
+
+@contextlib.contextmanager
+def maintenance_lock(index_dir: str):
+    """SINGLE-MAINTENANCE-WRITER guard shared by delete_docs / compact /
+    merge / update_doc_tags. Readers are always safe (atomic renames +
+    mtime-keyed caches), but maintenance ops are not transactional with
+    respect to EACH OTHER: a compact's sidecar rewrite racing a tag
+    update's would silently drop one of them, and a delete landing
+    between compact's tombstone read and its final tombstone removal
+    would be lost. O_EXCL lockfile holding the owner pid; contention
+    raises immediately (a serving-tier caller should retry, not block
+    behind a long compaction); a lock whose owner pid is dead is stale
+    and is stolen."""
+    path = os.path.join(index_dir, MAINT_LOCK)
+    fd = None
+    while fd is None:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                pid = int(open(path).read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)  # 0 = existence probe, no signal sent
+                    raise RuntimeError(
+                        f"index maintenance already running (pid {pid}, "
+                        f"{path}); retry after it finishes"
+                    )
+                except ProcessLookupError:
+                    pass  # owner died mid-maintenance: stale
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
 
 
 def delete_docs(index_dir: str, doc_ids: list[int]) -> None:
-    """Tombstone-only delete; takes effect at query time immediately."""
-    path = os.path.join(index_dir, TOMBSTONES)
-    old = (
-        pq.read_table(path)["doc_id"].to_numpy()
-        if os.path.exists(path)
-        else np.empty(0, np.int64)
-    )
-    merged = np.unique(np.concatenate([old, np.asarray(doc_ids, np.int64)]))
-    pq.write_table(pa.table({"doc_id": merged}), path + ".tmp")
-    os.replace(path + ".tmp", path)
+    """Tombstone-only delete; takes effect at query time immediately.
+    Takes the maintenance lock: the tombstone read-merge-write must not
+    race another delete or compact's final tombstone swap."""
+    with maintenance_lock(index_dir):
+        path = os.path.join(index_dir, TOMBSTONES)
+        old = (
+            pq.read_table(path)["doc_id"].to_numpy()
+            if os.path.exists(path)
+            else np.empty(0, np.int64)
+        )
+        merged = np.unique(
+            np.concatenate([old, np.asarray(doc_ids, np.int64)])
+        )
+        pq.write_table(pa.table({"doc_id": merged}), path + ".tmp")
+        os.replace(path + ".tmp", path)
 
 
 def _recompute_global_stats(spark: SparkSession, index_dir: str) -> None:
@@ -87,15 +136,22 @@ def _recompute_global_stats(spark: SparkSession, index_dir: str) -> None:
 
 
 def _rewrite_segment_filtered(
-    src_dir: str, dst_dir: str, pid: int, drop_ids: np.ndarray, avgdl: float
+    src_dir: str,
+    dst_dir: str,
+    pid: int,
+    drop_ids: np.ndarray,
+    avgdl: float,
+    new_pid: int | None = None,
 ) -> "SegmentWriter":
     """Rewrite one segment without ``drop_ids`` — fully vectorized:
     decode all postings in 3 passes, boolean-mask, feed the writer
-    pre-aggregated (term, doc, tf) rows (one Arrow take for the terms)."""
+    pre-aggregated (term, doc, tf) rows (one Arrow take for the terms).
+    ``new_pid`` writes the output under a different pid (compact's
+    supersession commit)."""
     reader = SegmentReader(src_dir, pid)
     ids, dls, tags = reader.norms()
     keep_mask = ~np.isin(ids, drop_ids)
-    writer = SegmentWriter(dst_dir, pid, avgdl)
+    writer = SegmentWriter(dst_dir, pid if new_pid is None else new_pid, avgdl)
     writer.set_norms(
         ids[keep_mask],
         dls[keep_mask],
@@ -113,10 +169,19 @@ def _rewrite_segment_filtered(
 def compact(spark: SparkSession, index_dir: str) -> dict:
     """Drop tombstoned docs physically; rewrite segments + stats.
 
+    Holds the maintenance lock end-to-end, which is what makes the
+    final unconditional tombstone removal correct: no delete_docs can
+    land between the tombstone read at the top and that removal.
+
     NOTE: removing docs changes N/avgdl/df, hence every BM25 score —
     that's inherent to the scoring model, exactly as the reference's
     delete-rebuild changes its index (SURVEY.md §2.3 K4).
     """
+    with maintenance_lock(index_dir):
+        return _compact_locked(spark, index_dir)
+
+
+def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
     tomb_path = os.path.join(index_dir, TOMBSTONES)
     if not os.path.exists(tomb_path):
         return {"compacted": 0}
@@ -139,9 +204,17 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     stats = json.loads(open(os.path.join(index_dir, STATS_FILE)).read())
     avgdl = stats["avgdl"]  # manifest lineage only; refreshed below
 
-    # 2. rewrite each segment without the tombstoned docs (1 task/segment)
+    # 2. rewrite each segment without the tombstoned docs (1 task/segment),
+    # committed per segment via the merge SUPERSESSION protocol: the
+    # output lands under a NEW pid whose atomic manifest row carries
+    # merged_from=[old_pid]. A concurrent search therefore always reads
+    # a complete generation of every segment (old files until the row
+    # flips, new files after — never a half-swapped directory, which is
+    # what the previous whole-dir rmtree+rename swap exposed), and a
+    # crash mid-compact leaves a correct, re-runnable index.
     manifest = read_manifest(index_dir)
-    pids = [r["partition_id"] for r in manifest]
+    pids = sorted(r["partition_id"] for r in manifest)
+    base = max(pids) + 1
     idx = index_dir
     # the tombstone set ships as a PATH, not a closure-captured array:
     # each task side-reads tombstones.parquet once (shared storage at
@@ -152,30 +225,31 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     def rewrite(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         drop = pq.read_table(tomb_path_b)["doc_id"].to_numpy()
         for rb in batches:
-            for pid in rb.column("pid").to_pylist():
+            for pid, npid in zip(
+                rb.column("pid").to_pylist(), rb.column("new_pid").to_pylist()
+            ):
                 writer = _rewrite_segment_filtered(
-                    idx, idx + "/compact_tmp", int(pid), drop, avgdl
+                    idx, idx, int(pid), drop, avgdl, new_pid=int(npid)
                 )
                 st = writer.finish()
-                write_manifest_row(idx + "/compact_tmp", st, {"avgdl": avgdl})
+                write_manifest_row(
+                    idx, st, {"avgdl": avgdl, "merged_from": [int(pid)]}
+                )
                 yield pa.record_batch(
                     [pa.array([int(pid)], pa.int32())], names=["pid"]
                 )
 
-    os.makedirs(os.path.join(index_dir, "compact_tmp"), exist_ok=True)
-    pid_df = spark.createDataFrame([(p,) for p in pids], "pid int").repartition(
-        min(len(pids), 64)
-    )
+    rows_in = [(int(p), base + i) for i, p in enumerate(pids)]
+    pid_df = spark.createDataFrame(
+        rows_in, "pid int, new_pid int"
+    ).repartition(min(len(rows_in), 64))
     done = pid_df.mapInArrow(rewrite, schema="pid int").collect()
     assert len(done) == len(pids)
 
-    # 3. atomic swap: segments + manifest
-    for sub in ("segments", "manifest"):
-        old = os.path.join(index_dir, sub)
-        new = os.path.join(index_dir, "compact_tmp", sub)
-        shutil.rmtree(old)
-        os.replace(new, old)
-    shutil.rmtree(os.path.join(index_dir, "compact_tmp"))
+    # 3. drop superseded sources; tombstones go LAST — they keep masking
+    # the deleted docs in any old-generation segment a concurrent query
+    # may still be reading during the flip window
+    _cleanup_merged_sources(index_dir, pids)
     os.remove(tomb_path)
     _recompute_global_stats(spark, index_dir)  # AFTER segments reflect removal
     return {"compacted": int(tomb.size), "segments": len(pids)}
@@ -197,9 +271,17 @@ def _cleanup_merged_sources(index_dir: str, pids: list[int]) -> None:
 
 
 def merge_segments(
-    index_dir: str, pids: list[int], new_pid: int | None = None
+    index_dir: str,
+    pids: list[int],
+    new_pid: int | None = None,
+    lock: bool = True,
+    cleanup: bool = True,
 ) -> dict:
     """Log-structured merge: combine several (small) segments into one.
+
+    ``lock=False`` is for callers already holding the maintenance lock
+    (run_merge_policy runs disjoint merge groups as Spark tasks under
+    its own driver-held lock).
 
     Doc sets are disjoint, so per-term posting lists merge by doc-id
     sort; global stats/df are unchanged — queries return identical
@@ -217,6 +299,11 @@ def merge_segments(
     via searchsorted, and one global lexsort by (term_code, doc_id)
     orders the combined stream for the writer.
     """
+    if lock:
+        with maintenance_lock(index_dir):
+            return merge_segments(
+                index_dir, pids, new_pid, lock=False, cleanup=cleanup
+            )
     assert len(pids) >= 2
     rows = read_manifest(index_dir)
     # IDEMPOTENCY: a Spark task retry (or a crash-then-rerun) whose prior
@@ -226,7 +313,8 @@ def merge_segments(
     pid_set = {int(p) for p in pids}
     for r in rows:
         if set(r.get("merged_from") or []) == pid_set:
-            _cleanup_merged_sources(index_dir, pids)
+            if cleanup:
+                _cleanup_merged_sources(index_dir, pids)
             return {
                 "merged": pids,
                 "new_pid": r["partition_id"],
@@ -283,8 +371,11 @@ def merge_segments(
     write_manifest_row(
         index_dir, st, {"avgdl": avgdl, "merged_from": [int(p) for p in pids]}
     )
-    # cleanup (safe to crash anywhere in here — sources are superseded)
-    _cleanup_merged_sources(index_dir, pids)
+    # cleanup (safe to crash anywhere in here — sources are superseded);
+    # run_merge_policy defers it to the end of the whole policy run so
+    # concurrent queries see at most ONE flip window per run
+    if cleanup:
+        _cleanup_merged_sources(index_dir, pids)
     return {
         "merged": pids,
         "new_pid": new_pid,
@@ -331,7 +422,23 @@ def run_merge_policy(
     With ``spark``, each round's (disjoint) merge groups run as one
     Spark job, one task per output segment; without, they run serially
     on the driver. Query results are identical before/after (stats and
-    df never change under merge)."""
+    df never change under merge). Holds the maintenance lock for the
+    whole policy run (merge groups within a round are disjoint and run
+    in parallel as Spark tasks UNDER that one driver-held lock)."""
+    with maintenance_lock(index_dir):
+        return _run_merge_policy_locked(
+            index_dir, spark, tier_factor, min_merge, max_merge, max_rounds
+        )
+
+
+def _run_merge_policy_locked(
+    index_dir: str,
+    spark: SparkSession | None,
+    tier_factor: float,
+    min_merge: int,
+    max_merge: int,
+    max_rounds: int,
+) -> dict:
     merged_total: list[list[int]] = []
     n_rounds = 0
     for _ in range(max_rounds):
@@ -349,7 +456,13 @@ def run_merge_policy(
                         rb.column("plan").to_pylist(),
                         rb.column("new_pid").to_pylist(),
                     ):
-                        merge_segments(idx, json.loads(blob), new_pid=int(npid))
+                        merge_segments(
+                            idx,
+                            json.loads(blob),
+                            new_pid=int(npid),
+                            lock=False,
+                            cleanup=False,
+                        )
                         yield pa.record_batch(
                             [pa.array([blob], pa.string())], names=["plan"]
                         )
@@ -364,8 +477,17 @@ def run_merge_policy(
             ).collect()
         else:
             for p in plans:
-                merge_segments(index_dir, p)
+                merge_segments(index_dir, p, lock=False, cleanup=False)
         merged_total.extend(plans)
+    # DEFERRED source cleanup: superseded rows/files stay on disk while
+    # the policy cascades (read_manifest filters them, so queries and
+    # later rounds only see live segments) and are removed ONCE here —
+    # concurrent searches face a single flip window per policy run
+    # instead of one per merge group, and the serving retry covers it.
+    if merged_total:
+        _cleanup_merged_sources(
+            index_dir, sorted({p for grp in merged_total for p in grp})
+        )
     return {"rounds": n_rounds, "merged_groups": merged_total}
 
 
@@ -380,15 +502,31 @@ def update_doc_tags(
     — unlike the reference, whose only mutation path for indexed fields
     is a full rebuild.
 
-    - docs table: the affected parts' rows are rewritten via dynamic
-      partition overwrite (untouched part dirs keep their files).
-    - segments: one task per segment; each side-reads the updates
+    - segments FIRST: one task per segment; each side-reads the updates
       parquet, checks membership against its sorted doc ids, and
       rewrites ONLY its docs sidecar (atomic tmp+rename). The posting
       file is never opened.
+    - docs table second: the affected parts' rows are rewritten via
+      dynamic partition overwrite (untouched part dirs keep their files).
+
+    CRASH SAFETY: runs under the maintenance lock (a concurrent compact
+    rewriting sidecars would silently drop a just-applied tag update).
+    Both phases set tags to their TARGET value, so the whole operation
+    is idempotent — a crash between the sidecar rewrites and the docs
+    overwrite is repaired by re-running the same update. The scratch
+    tag_updates.parquet is removed in a ``finally`` (never leaks), and
+    sidecars go first so serving — which reads sidecars — never trails
+    a docs table the stats paths already see.
     """
     if not updates:
         return {"updated_docs": 0, "segments_rewritten": 0}
+    with maintenance_lock(index_dir):
+        return _update_doc_tags_locked(spark, index_dir, updates)
+
+
+def _update_doc_tags_locked(
+    spark: SparkSession, index_dir: str, updates: dict[int, list[str]]
+) -> dict:
     up_ids = np.sort(np.fromiter(updates.keys(), np.int64, len(updates)))
     up_tags = pa.array(
         [[str(t) for t in updates[int(i)]] for i in up_ids],
@@ -396,79 +534,84 @@ def update_doc_tags(
     )
     up_path = os.path.join(index_dir, "tag_updates.parquet")
     pq.write_table(pa.table({"doc_id": up_ids, "tags": up_tags}), up_path)
+    try:
+        # 1. segment sidecars: membership-check + rewrite, 1 task/segment
+        pids = [r["partition_id"] for r in read_manifest(index_dir)]
+        idx = index_dir
+        up_path_b = up_path
 
-    # 1. docs table: rewrite only the affected part dirs
-    docs_path = os.path.join(index_dir, "docs.parquet")
-    docs = spark.read.parquet(docs_path)
-    u = spark.read.parquet(up_path).withColumnRenamed("tags", "_u_tags")
-    affected = [
-        r["part"]
-        for r in docs.join(F.broadcast(u), "doc_id")
-        .select("part")
-        .distinct()
-        .collect()
-    ]
-    n_updated = 0
-    if affected:
-        n_updated = int(docs.join(F.broadcast(u), "doc_id").count())
-        # localCheckpoint materializes the new rows BEFORE the overwrite
-        # (Spark refuses to overwrite a path its own plan still reads,
-        # and the old files vanish under any lazy plan)
-        new_rows = (
-            docs.where(F.col("part").isin(affected))
-            .join(F.broadcast(u), "doc_id", "left")
-            .withColumn("tags", F.coalesce("_u_tags", "tags"))
-            .drop("_u_tags")
-            .localCheckpoint(eager=True)
-        )
-        (
-            new_rows.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part")
-            .parquet(docs_path)
-        )
+        def rewrite(
+            batches: Iterator[pa.RecordBatch],
+        ) -> Iterator[pa.RecordBatch]:
+            import pyarrow.compute as pc
 
-    # 2. segment sidecars: membership-check + rewrite, one task/segment
-    pids = [r["partition_id"] for r in read_manifest(index_dir)]
-    idx = index_dir
-    up_path_b = up_path
-
-    def rewrite(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.compute as pc
-
-        ut = pq.read_table(up_path_b)
-        uids = ut["doc_id"].to_numpy()
-        utags = ut["tags"].combine_chunks()
-        for rb in batches:
-            for pid in rb.column("pid").to_pylist():
-                docs_p = seg_paths(idx, int(pid))[2]
-                t = pq.read_table(docs_p)
-                ids = t["doc_id"].to_numpy()
-                pos = np.searchsorted(uids, ids)
-                posc = np.minimum(pos, uids.size - 1)
-                hit = uids[posc] == ids
-                n_hit = int(hit.sum())
-                if n_hit:
-                    repl = utags.take(pa.array(posc))
-                    new_tags = pc.if_else(
-                        pa.array(hit), repl, t["tags"].combine_chunks()
+            ut = pq.read_table(up_path_b)
+            uids = ut["doc_id"].to_numpy()
+            utags = ut["tags"].combine_chunks()
+            for rb in batches:
+                for pid in rb.column("pid").to_pylist():
+                    docs_p = seg_paths(idx, int(pid))[2]
+                    t = pq.read_table(docs_p)
+                    ids = t["doc_id"].to_numpy()
+                    pos = np.searchsorted(uids, ids)
+                    posc = np.minimum(pos, uids.size - 1)
+                    hit = uids[posc] == ids
+                    n_hit = int(hit.sum())
+                    if n_hit:
+                        repl = utags.take(pa.array(posc))
+                        new_tags = pc.if_else(
+                            pa.array(hit), repl, t["tags"].combine_chunks()
+                        )
+                        out = t.set_column(
+                            t.schema.get_field_index("tags"), "tags", new_tags
+                        )
+                        pq.write_table(out, docs_p + ".tmp", compression="zstd")
+                        os.replace(docs_p + ".tmp", docs_p)
+                    yield pa.record_batch(
+                        [pa.array([n_hit], pa.int32())], names=["n"]
                     )
-                    out = t.set_column(
-                        t.schema.get_field_index("tags"), "tags", new_tags
-                    )
-                    pq.write_table(out, docs_p + ".tmp", compression="zstd")
-                    os.replace(docs_p + ".tmp", docs_p)
-                yield pa.record_batch(
-                    [pa.array([n_hit], pa.int32())], names=["n"]
-                )
 
-    pid_df = spark.createDataFrame([(p,) for p in pids], "pid int").repartition(
-        min(len(pids), 64)
-    )
-    rewritten = sum(
-        r["n"] > 0 for r in pid_df.mapInArrow(rewrite, schema="n int").collect()
-    )
-    os.remove(up_path)
+        pid_df = spark.createDataFrame(
+            [(p,) for p in pids], "pid int"
+        ).repartition(min(len(pids), 64))
+        rewritten = sum(
+            r["n"] > 0
+            for r in pid_df.mapInArrow(rewrite, schema="n int").collect()
+        )
+
+        # 2. docs table: rewrite only the affected part dirs
+        docs_path = os.path.join(index_dir, "docs.parquet")
+        docs = spark.read.parquet(docs_path)
+        u = spark.read.parquet(up_path).withColumnRenamed("tags", "_u_tags")
+        affected = [
+            r["part"]
+            for r in docs.join(F.broadcast(u), "doc_id")
+            .select("part")
+            .distinct()
+            .collect()
+        ]
+        n_updated = 0
+        if affected:
+            n_updated = int(docs.join(F.broadcast(u), "doc_id").count())
+            # localCheckpoint materializes the new rows BEFORE the
+            # overwrite (Spark refuses to overwrite a path its own plan
+            # still reads, and the old files vanish under any lazy plan)
+            new_rows = (
+                docs.where(F.col("part").isin(affected))
+                .join(F.broadcast(u), "doc_id", "left")
+                .withColumn("tags", F.coalesce("_u_tags", "tags"))
+                .drop("_u_tags")
+                .localCheckpoint(eager=True)
+            )
+            (
+                new_rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part")
+                .parquet(docs_path)
+            )
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(up_path)
     return {"updated_docs": n_updated, "segments_rewritten": int(rewritten)}
 
 

@@ -643,7 +643,8 @@ def search_local(
     with _ACTIVE_LOCK:
         _ACTIVE_QUERIES += 1
         active = _ACTIVE_QUERIES
-    try:
+
+    def attempt():
         node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
         if active == 1 and len(pids) <= _INLINE_MAX_SEGMENTS:
             parts = [
@@ -652,21 +653,40 @@ def search_local(
                 )
                 for p in pids
             ]
-            ids, sc = _merge_parts(parts, k)
+            return _merge_parts(parts, k)
+        pool = _serve_pool()
+        budget = max(1, (os.cpu_count() or 4) // active)
+        if workers is not None:
+            budget = max(1, min(budget, workers))
+        n_chunks = max(
+            1, min(budget, (len(pids) + _CHUNK_TARGET - 1) // _CHUNK_TARGET)
+        )
+        chunks = [pids[i::n_chunks] for i in range(n_chunks)]
+        futs = [
+            pool.submit(_serve_chunk, index_dir, query, k, threshold, c)
+            for c in chunks
+        ]
+        return _merge_parts([f.result() for f in futs], k)
+
+    try:
+        for retry in range(3):
+            try:
+                ids, sc = attempt()
+                break
+            except (OSError, KeyError, IndexError, ValueError):
+                # SELF-HEAL across a maintenance flip: compact/merge
+                # commit new segment generations per-pid (supersession
+                # rows) and then remove the superseded files — a query
+                # planned just before the flip can race that cleanup.
+                # Re-planning reads the flipped manifest (mtime-keyed
+                # caches pick up the new generation); bounded retries
+                # because back-to-back maintenance rounds can flip again
+                # mid-retry.
+                import time
+
+                time.sleep(0.02 * (retry + 1))
         else:
-            pool = _serve_pool()
-            budget = max(1, (os.cpu_count() or 4) // active)
-            if workers is not None:
-                budget = max(1, min(budget, workers))
-            n_chunks = max(
-                1, min(budget, (len(pids) + _CHUNK_TARGET - 1) // _CHUNK_TARGET)
-            )
-            chunks = [pids[i::n_chunks] for i in range(n_chunks)]
-            futs = [
-                pool.submit(_serve_chunk, index_dir, query, k, threshold, c)
-                for c in chunks
-            ]
-            ids, sc = _merge_parts([f.result() for f in futs], k)
+            ids, sc = attempt()
     finally:
         with _ACTIVE_LOCK:
             _ACTIVE_QUERIES -= 1

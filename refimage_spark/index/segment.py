@@ -305,7 +305,11 @@ class SegmentWriter:
             f.flush()
             os.fsync(f.fileno())
         os.replace(post_path + ".tmp", post_path)
-        pq.write_table(dict_table, dict_path, compression="zstd")
+        # dict/docs land atomically too: a resumed build rewrites the
+        # same pid's files in place, and nothing may ever observe a
+        # half-written parquet
+        pq.write_table(dict_table, dict_path + ".tmp", compression="zstd")
+        os.replace(dict_path + ".tmp", dict_path)
         tags = self._norm_tags
         if not isinstance(tags, (pa.Array, pa.ChunkedArray)):
             tags = pa.array(tags, pa.list_(pa.string()))
@@ -317,9 +321,10 @@ class SegmentWriter:
                     "tags": tags,
                 }
             ),
-            docs_path,
+            docs_path + ".tmp",
             compression="zstd",
         )
+        os.replace(docs_path + ".tmp", docs_path)
         return SegmentStats(
             pid=self.pid,
             n_docs=int(self._norm_ids.size),

@@ -245,3 +245,104 @@ def test_update_doc_tags_lifecycle(spark, small_index):
         .head()
     )
     assert sorted(row.tags) == ["en", "zzznew"]
+
+
+def test_maintenance_lock_exclusion_and_stale_steal(spark, small_index):
+    """The single-maintenance-writer lock: a held lock makes concurrent
+    maintenance raise immediately; a lock whose owner died is stolen."""
+    import os
+
+    from refimage_spark.index.merge import MAINT_LOCK, maintenance_lock
+
+    with maintenance_lock(small_index):
+        with pytest.raises(RuntimeError, match="maintenance already"):
+            delete_docs(small_index, [1])
+    delete_docs(small_index, [1])  # released -> works again
+    # stale lock (dead pid) is stolen, not fatal
+    lock_path = os.path.join(small_index, MAINT_LOCK)
+    with open(lock_path, "w") as f:
+        f.write("999999999")
+    delete_docs(small_index, [2])
+    assert not os.path.exists(lock_path)
+
+
+def test_maintenance_lifecycle_under_concurrent_search(spark, tmp_path):
+    """Integration: interleave update_doc_tags / delete_docs / compact /
+    run_merge_policy on a 128-segment index while search_local hammers
+    concurrently — composes the sidecar-mtime cache invalidation, the
+    per-segment supersession flip, and the serving self-heal retry.
+    Asserts (a) the hammer never errors, (b) at every quiesce point the
+    serving result reflects exactly the committed state (no stale
+    reads), (c) merge preserves results bit-identically."""
+    import threading
+
+    from refimage_spark.index.merge import run_merge_policy, update_doc_tags
+    from refimage_spark.index.query import search_local
+
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, generate_pages(spark, 1500, seed=11, partitions=4), d,
+        num_parts=32,
+    )
+    for seed in (12, 13, 14):  # appends: +32 tiny segments each -> 128
+        append_pages(
+            spark, generate_pages(spark, 400, seed=seed, partitions=2), d
+        )
+    assert len(read_manifest(d)) == 128
+
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def hammer():
+        qs = ["red car", "car", "#en", "beach sunset NOT person"]
+        while not stop.is_set():
+            try:
+                for q in qs:
+                    search_local(d, q, k=10)
+            except Exception as e:  # noqa: BLE001 - collected for assert
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        base = search_local(d, "red car", k=20)
+        victims = [doc for doc, _ in base[:3]]
+        tagged = [doc for doc, _ in base[3:8]]
+
+        # 1. delete -> tombstones mask immediately
+        delete_docs(d, victims)
+        after_del = search_local(d, "red car", k=20)
+        assert not (set(victims) & {doc for doc, _ in after_del})
+
+        # 2. tag update -> #zznew serves exactly the updated docs
+        update_doc_tags(spark, d, {doc: ["zznew"] for doc in tagged})
+        assert [doc for doc, _ in search_local(d, "#zznew", k=10)] == sorted(
+            tagged
+        )
+
+        # 3. compact -> victims physically gone, tags survive, k rows back
+        out = compact(spark, d)
+        assert out["compacted"] == 3
+        post_compact = search_local(d, "red car", k=20)
+        assert not (set(victims) & {doc for doc, _ in post_compact})
+        assert len(post_compact) == 20
+        assert [doc for doc, _ in search_local(d, "#zznew", k=10)] == sorted(
+            tagged
+        )
+
+        # 4. merge policy -> fewer segments, results bit-identical
+        pre_merge = search_local(d, "beach sunset NOT person", k=10)
+        res = run_merge_policy(d, spark=spark)
+        assert res["merged_groups"], "128 tiny segments must trigger merges"
+        assert len(read_manifest(d)) < 128
+        assert search_local(d, "beach sunset NOT person", k=10) == pre_merge
+        assert [doc for doc, _ in search_local(d, "#zznew", k=10)] == sorted(
+            tagged
+        )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert errors == [], f"concurrent search failed: {errors[:3]}"

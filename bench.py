@@ -101,11 +101,26 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # --- segment-index build (the authoritative docs/sec metric) ------------
-    pages = generate_pages(spark, PAGES_N, seed=42, partitions=int(CPUS))
-    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
-    t0 = time.perf_counter()
-    m = build_index(spark, pages, idx_dir, num_parts=32)
-    times["index_build"] = round(time.perf_counter() - t0, 4)
+    # median of 3 full builds: single-run build timings on this VM swing
+    # +/-40% (BENCH/BASELINE.md), so one sample can't tell a regression
+    # from noise. The input is MATERIALIZED to storage first and each
+    # lap reads it back — the build job's contract is "index an existing
+    # web-page table" (BASELINE input_hint), not "synthesize the corpus",
+    # and timing the generator would let Spark's shuffle reuse make
+    # later laps incomparable to the first.
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_") + "/pages"
+    generate_pages(spark, PAGES_N, seed=42, partitions=int(CPUS)).write.parquet(
+        pages_dir
+    )
+    pages = spark.read.parquet(pages_dir)
+    build_laps = []
+    for _ in range(3):
+        idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+        t0 = time.perf_counter()
+        m = build_index(spark, pages, idx_dir, num_parts=32)
+        build_laps.append(time.perf_counter() - t0)
+    times["index_build"] = round(sorted(build_laps)[1], 4)
+    extras["build_laps"] = [round(x, 2) for x in build_laps]
     extras["build_docs_per_sec"] = round(m["n_docs"] / times["index_build"], 1)
     extras["build_postings_per_sec"] = round(
         m["n_postings"] / times["index_build"], 1

@@ -222,16 +222,39 @@ def main() -> None:
             results[cores].append(res)
             pair[cores] = res
             print(f"run {r} local[{cores}]: {res}")
-        raw_r = (pair[hi]["docs_per_sec"] / pair[lo]["docs_per_sec"]) / (hi / lo)
+        ratio_r = hi / lo
+        raw_r = (pair[hi]["docs_per_sec"] / pair[lo]["docs_per_sec"]) / ratio_r
+        # PER-PASS decomposition: pass B is zero-exchange by design and
+        # pass A carries the build's one corpus exchange; the residual
+        # (manifest/stats/term_stats + driver orchestration) is session
+        # FIXED cost that no cluster size changes — the Amdahl term a
+        # real 4N-executor cluster also has, but amortized over 1000x
+        # the data per BASELINE's target scale.
+        eff_a = (pair[lo]["pass_a_sec"] / pair[hi]["pass_a_sec"]) / ratio_r
+        eff_b = (pair[lo]["pass_b_sec"] / pair[hi]["pass_b_sec"]) / ratio_r
+        fixed = {
+            c: pair[c]["build_sec"]
+            - pair[c]["pass_a_sec"]
+            - pair[c]["pass_b_sec"]
+            for c in (lo, hi)
+        }
         pair_effs.append({
             "raw": raw_r,
             "cpu_norm": raw_r / pair_cal["cpu"]["ceiling_efficiency"],
             "mem_norm": raw_r / pair_cal["mem"]["ceiling_efficiency"],
+            "pass_a_raw": eff_a,
+            "pass_b_raw": eff_b,
+            "pass_a_mem_norm": eff_a / pair_cal["mem"]["ceiling_efficiency"],
+            "pass_b_mem_norm": eff_b / pair_cal["mem"]["ceiling_efficiency"],
+            "fixed_lo": fixed[lo],
+            "fixed_hi": fixed[hi],
             "cal": pair_cal,
         })
         print(f"pair {r}: raw={raw_r:.3f} "
               f"cpu_norm={pair_effs[-1]['cpu_norm']:.3f} "
-              f"mem_norm={pair_effs[-1]['mem_norm']:.3f}")
+              f"mem_norm={pair_effs[-1]['mem_norm']:.3f} "
+              f"passA={eff_a:.3f} passB={eff_b:.3f} "
+              f"fixed={fixed[lo]:.1f}/{fixed[hi]:.1f}s")
 
     med = {
         c: {
@@ -245,6 +268,24 @@ def main() -> None:
     eff = statistics.median(p["raw"] for p in pair_effs)
     eff_cpu = statistics.median(p["cpu_norm"] for p in pair_effs)
     eff_mem = statistics.median(p["mem_norm"] for p in pair_effs)
+    eff_pa = statistics.median(p["pass_a_raw"] for p in pair_effs)
+    eff_pa_m = statistics.median(p["pass_a_mem_norm"] for p in pair_effs)
+    eff_pb = statistics.median(p["pass_b_raw"] for p in pair_effs)
+    eff_pb_m = statistics.median(p["pass_b_mem_norm"] for p in pair_effs)
+    fixed_lo_med = statistics.median(p["fixed_lo"] for p in pair_effs)
+    fixed_hi_med = statistics.median(p["fixed_hi"] for p in pair_effs)
+    fixed_share_lo = fixed_lo_med / med[lo]["build_sec"]
+    fixed_share_hi = fixed_hi_med / med[hi]["build_sec"]
+    pair_table = (
+        "| pair | raw | mem-norm | pass A raw | pass B raw | mem ceiling |\n"
+        "|---|---|---|---|---|---|\n"
+        + "\n".join(
+            f"| {i} | {p['raw']:.3f} | {p['mem_norm']:.3f} | "
+            f"{p['pass_a_raw']:.3f} | {p['pass_b_raw']:.3f} | "
+            f"{p['cal']['mem']['ceiling_efficiency']:.3f} |"
+            for i, p in enumerate(pair_effs)
+        )
+    )
     n_docs = results[lo][0]["n_docs"]
     n_post = results[lo][0]["n_postings"]
 
@@ -299,6 +340,27 @@ machine than the runs): raw = {eff:.3f}; cpu-ceiling-normalized =
 {eff_cpu:.3f}; mem-(data-movement)-ceiling-normalized = {eff_mem:.3f}**
 (target >= 0.8 per BASELINE.json; the mem-normalized figure is the one
 that transfers to a real N->4N cluster, see ceilings above).
+
+## Per-pass decomposition (medians over the same pairs)
+
+The whole-job number folds together three things that scale
+differently; decomposing pins exactly what a real cluster recovers:
+
+| component | raw eff | mem-norm eff | note |
+|---|---|---|---|
+| pass A (docs/dedup — the build's ONE exchange) | {eff_pa:.3f} | {eff_pa_m:.3f} | exchange shares one memory bus here; a cluster shards it across 4N buses+NICs |
+| pass B (postings — zero-exchange by design) | {eff_pb:.3f} | {eff_pb_m:.3f} | one cache-sized task per part, no cross-task traffic |
+| session fixed cost (manifest/stats/term_stats + driver) | {fixed_lo_med:.1f}s -> {fixed_hi_med:.1f}s | — | does not scale BY DESIGN (Amdahl term); at the 10^12-doc target it amortizes over ~10^6x more work per build |
+
+Whole-job efficiency is the work-weighted blend of these three; the
+fixed-cost share at this toy input size ({fixed_share_lo:.0%} of the
+local[{lo}] build, {fixed_share_hi:.0%} at local[{hi}]) is a sandbox
+artifact of benchmarking a {args.pages}-page corpus, not a property of
+the design.
+
+## Pair distribution (the honest spread)
+
+{pair_table}
 
 ## Kernel-level evidence (Spark excluded)
 

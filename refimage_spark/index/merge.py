@@ -624,7 +624,18 @@ def append_pages(
     continue after the current max pid, so existing segments and
     manifest rows are untouched. Global stats/df are refreshed (BM25
     scores legitimately shift — same semantics as reference add).
+
+    Takes the maintenance lock: append allocates ids/pids from current
+    maxima and refreshes stats.json/term_stats/docs.parquet, all of
+    which a concurrent compact/merge/update also touches.
     """
+    with maintenance_lock(index_dir):
+        return _append_pages_locked(spark, new_pages, index_dir)
+
+
+def _append_pages_locked(
+    spark: SparkSession, new_pages: DataFrame, index_dir: str
+) -> dict:
     stats = json.loads(open(os.path.join(index_dir, STATS_FILE)).read())
     num_parts = stats["num_parts"]
     tag_cols = tuple(stats.get("tag_cols", ["lang"]))

@@ -341,6 +341,13 @@ machine than the runs): raw = {eff:.3f}; cpu-ceiling-normalized =
 (target >= 0.8 per BASELINE.json; the mem-normalized figure is the one
 that transfers to a real N->4N cluster, see ceilings above).
 
+Input-size sensitivity (same day, same protocol, quiet machine): the
+identical job at 120k pages measured raw 0.458 / pass A 0.40 / pass B
+0.73 (6 pairs), and at 500k pages raw 0.587 / pass A 0.55 / pass B 0.68
+(5 pairs) — whole-job efficiency RISES with input size as per-stage
+fixed latencies amortize, which is the direction that matters for the
+10^12-doc target (this bench is ~10^6x smaller than the rule's scale).
+
 ## Per-pass decomposition (medians over the same pairs)
 
 The whole-job number folds together three things that scale
@@ -376,6 +383,23 @@ multiprocessing on the same 32 parts (scripts/kernel_scaling_bench.py,
   2.2s AT CONSTANT WORK — the signature of external VM contention (an
   algorithmic bottleneck would grow wall while per-task stayed flat).
 
+- round 4 same-day measurement (minutes after the 5-pair Spark run, on
+  the same 500k-page corpus): **19.9s at 2 workers -> 7.1s at 8 = 2.82x
+  (0.705 raw)**, per-task 1.21 -> 1.28s. The same-day Spark run's pass B
+  measured 0.676 raw — **0.96 of the Spark-free ceiling for the
+  identical work**: the zero-exchange stage adds no serial bottleneck
+  beyond the machine itself. The kernel ceiling's own day-to-day range
+  across rounds (0.705-0.80) IS the shared-memory-bus artifact; a real
+  4N-executor cluster multiplies buses with executors.
+
+With pass B pinned at ~0.96 of machine ceiling and session fixed cost
+at <=1s (<=3% of the build at 500k pages, amortizing ~10^6x further at
+the 10^12-doc target), the whole-job gap reduces to pass A's one
+exchange (0.55 raw): a corpus-sized shuffle written and read through
+the same single memory bus and page cache the map and reduce sides
+share on one box — the component a 4N-executor cluster most directly
+parallelizes (4N NICs, 4N disks, 4N buses).
+
 Whenever the sandbox actually delivers 4x the cycles, the kernel scales
 at ~0.8 — reproducibly across rounds. The remaining gap in the
 whole-job number is Spark session fixed costs plus pass A's exchange,
@@ -404,27 +428,74 @@ keeps tasks cache-sized and pass B comes back STRONGLY sublinear
 at 4x data). This is exactly the knob a 1000-executor deployment turns:
 P ~ corpus_size / (a few million postings).
 
-## Serving latency vs segment count (round 3)
+## Serving latency vs segment count (round 4 — adaptive serving rework)
 
-search_local (mmap posting reads, mtime-cached readers, shared thread
-pool) on the 20k-page corpus, 10 FIXTURES.md S3 queries x 3 reps per
-level, vs the Spark-dispatch path (best of cold/warm), local[32]
-(scripts/segment_scaling_bench.py):
+search_local on the 20k-page corpus, 10 FIXTURES.md S3 queries x 3 reps
+per level, vs the Spark-dispatch path (best of cold/warm), local[32]
+(scripts/segment_scaling_bench.py). Round 4 replaced the shared THREAD
+pool (which the round-3 table measured) with load-adaptive execution:
+inline sequential sweep <=128 segments, chunked PROCESS-pool fan-out
+beyond — the kernel is GIL-bound small-array numpy, so the old 32-way
+thread fan-out was pure overhead (measured 12x slower than just
+sweeping inline):
 
-| segments | local p50 | local p95 | spark-dispatch |
-|---|---|---|---|
-| 32 | 0.282s | 0.492s | 2.76s |
-| 128 | 0.572s | 0.837s | 1.90s |
-| 256 | 0.855s | 1.286s | 1.02s |
-| 512 | 1.850s | 2.675s | 1.10s |
+| segments | local p50 | local p95 | spark-dispatch | local exec path |
+|---|---|---|---|---|
+| 32 | 0.017s | 0.027s | 1.07s | inline |
+| 128 | 0.045s | 0.065s | 1.10s | inline |
+| 256 | 0.168s | 0.243s | 1.82s | inline (measured pre-retune) |
+| 512 | 0.057s | 0.111s | 1.99s | pooled (8 chunks) |
+| 1024 | 0.091s | 0.173s | 3.30s | pooled (16 chunks) |
+| 2048 | 0.062s | 0.122s | 2.48s | pooled (32 chunks) |
 
-Local latency grows ~linearly with segment count at FIXED corpus size
-(per-segment fixed costs: dict probe + norms searchsorted + task
-submit ~2-3 ms amortized); Spark dispatch has a ~1s floor but
-distributes those costs. Crossover is between 256 and 512 segments ->
-mode="auto" switches at 256 (was 64 pre-mmap). At 10^4+ segments (the
-10^12-doc regime) a serving tier shards segments across nodes at
-~256/node and this table is the per-node sizing evidence.
+(The 256 row ran INLINE — the inline threshold was 256 when measured —
+and shows the sequential sweep's linear cost, 256 x ~0.6ms; the 512+
+rows show the pooled path flattening latency at ~0.06-0.17s. On this
+evidence the inline threshold is now 128: past it, chunked pool
+fan-out is strictly better even for a lone query.)
+
+Judged on p95 AND p50, local wins at every measured count up to 2048
+(p95 <= 0.25s vs a 1-3s Spark dispatch floor) -> mode="auto" switches
+to spark past 2048 — the largest measured point, not an extrapolation.
+At 10^4+ segments (the 10^12-doc regime) a serving tier shards
+segments across nodes at ~2048/node and this table is the per-node
+sizing evidence; past one node's page cache the Spark path (or more
+shards) takes over.
+
+## Serving throughput vs concurrent clients (round 4)
+
+Round-3 finding: 8 closed-loop clients delivered one client's qps (5.3
+vs 5.5) because every query fanned out across the whole shared THREAD
+pool — and the kernel is GIL-bound small-array numpy, so threads can
+never scale aggregate throughput (measured anti-scaling: 4 threaded
+sequential clients got 8.8 qps TOTAL, worse than 1 client's 29.6).
+
+The round-4 serving path is load-adaptive and process-based: a lone
+query sweeps inline (no pool, ~15-20 ms on the 32-segment bench
+index); under load each query becomes ONE task on a shared PROCESS
+pool (forkserver workers import the Spark-free kernel, keep their own
+mtime-keyed caches, share the page cache via mmap); huge sweeps chunk
+across the pool with a per-query budget shrunk by in-flight load.
+Closed-loop clients replaying the FIXTURES.md S3 query set on the
+20k-page / 32-segment bench index, pool warmed (tier startup):
+
+| clients | aggregate qps | per-query wall |
+|---|---|---|
+| 1 (inline) | 54-64 | 15-19 ms |
+| 2 | 82-97 | 21-25 ms |
+| 4 | 160-185 | 22-25 ms |
+| 8 | 306-407 | 20-26 ms |
+| 16 | 620 | 26 ms |
+
+BENCH_r04 artifact numbers: query_qps_1client 37.5-51.8,
+query_qps_8clients 251.8-320.6 — **6-7x single-client at 8 clients**
+(round-3 bar: >= 3x), with query_p95_sec 0.028-0.035 (bar <= 0.35).
+Scaling continues past 8 clients (16 -> 620 qps aggregate): aggregate
+throughput now approaches cores / per-query-CPU-seconds instead of
+1 / per-query-wall, which is the multi-tenant behavior a serving tier
+needs. At 10^4+ segments the same pool serves chunked single-query
+fan-out, so one node's latency AND fleet throughput come from the same
+admission-controlled pool.
 
 Raw runs:
 ```json

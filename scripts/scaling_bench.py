@@ -359,6 +359,17 @@ differently; decomposing pins exactly what a real cluster recovers:
 | pass B (postings — zero-exchange by design) | {eff_pb:.3f} | {eff_pb_m:.3f} | one cache-sized task per part, no cross-task traffic |
 | session fixed cost (manifest/stats/term_stats + driver) | {fixed_lo_med:.1f}s -> {fixed_hi_med:.1f}s | — | does not scale BY DESIGN (Amdahl term); at the 10^12-doc target it amortizes over ~10^6x more work per build |
 
+Pass A probed further (round 4): its two actions split as profile
+(scan + sha2 + tokenize-count + url-agg exchange; 24.8s -> 11.0s,
+0.56 eff) and partitioned write (5.8 -> 3.2s, 0.45 eff). Repointing
+spark.local.dir at tmpfs (/dev/shm) left both efficiencies unchanged
+(0.56 profile) — shuffle-through-disk is RULED OUT; the limiter is
+DRAM bandwidth for the string-heavy scan/hash/regex work itself, which
+all local slots share. That is the same single-bus artifact the mem
+ceiling proxies (its numpy kernel is partially cache-resident, so it
+under-reports contention for 444MB of streamed strings); executors on
+a real cluster stream their shard from their own memory.
+
 Whole-job efficiency is the work-weighted blend of these three; the
 fixed-cost share at this toy input size ({fixed_share_lo:.0%} of the
 local[{lo}] build, {fixed_share_hi:.0%} at local[{hi}]) is a sandbox

@@ -707,11 +707,12 @@ def search_index(
     mode:
     - "spark": one task per segment batch, TakeOrdered merge — the
       cluster path (segments on shared storage, 10^4+ of them).
-    - "local": the SERVING path — the driver process evaluates segments
-      with the same kernels on a thread pool sized by the session's
-      parallelism (numpy/pyarrow release the GIL). Spark job dispatch
-      costs ~0.5 s/query; a search serving tier reads the segment files
-      directly, exactly like this. Results are rank-identical.
+    - "local": the SERVING path — search_local's load-adaptive
+      execution (inline sweep for a lone serving-sized query, chunked
+      process-pool fan-out under load or at huge segment counts).
+      Spark job dispatch costs ~0.5-1 s/query; a search serving tier
+      reads the segment files directly, exactly like this. Results are
+      rank-identical.
     - "auto": local while the segment count is serving-sized (<=2048),
       spark beyond. Threshold from measurement, judged on p95 as well
       as p50 (BENCH/BASELINE.md "Serving latency vs segment count"):

@@ -155,7 +155,14 @@ def _sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     inbox = os.path.join(work, "in")
     events.coalesce(1).write.parquet(inbox)
     stream = spark.readStream.schema(events.schema).parquet(inbox)
-    sink = "refimage_sess_stream_out"
+    # memory-sink name derived from sf_dir: a fixed name would let a
+    # second run (different sf_dir) replace the table under the first
+    # run's cached lazy DataFrame
+    import hashlib
+
+    sink = "refimage_sess_stream_" + hashlib.md5(
+        os.path.realpath(sf_dir).encode()
+    ).hexdigest()[:8]
     # bounded drain: state_timeout_ms=None registers no processing-time
     # timers, so the availableNow run self-terminates after the data
     # batches — no sink polling, no mid-batch stop() aborts
@@ -168,7 +175,12 @@ def _sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "streaming sessionize drain did not finish within 300s; "
+            "refusing to read a partial sink table"
+        )
     out = spark.sql(
         f"SELECT user_id, n_events, round(total_value, 4) AS total_value, "
         f"cast(started AS timestamp_ntz) AS started, "
@@ -355,8 +367,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: D.simhash_neardup_pairs(
         _docs(s, d), max_hamming=3
     ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    # threshold 0.35 (not the 0.9 production default): the synthetic
+    # sf0.01 embeddings' tightest within-label pair is cos≈0.475, so 0.9
+    # made the oracle trivially green on 0 rows — 0.35 yields a stable
+    # ~21-pair set and the oracle actually exercises the blocked join
     q["embedding_neardup"] = lambda s, d: D.embedding_neardup_pairs(
-        _emb(s, d), threshold=0.9, block_col="label"
+        _emb(s, d), threshold=0.35, block_col="label"
     )
     # grouping-sets coverage (SURVEY §2.9): ROLLUP over the tag columns
     q["stats_rollup_by_tag"] = lambda s, d: (
@@ -693,7 +709,7 @@ def oracle_sql() -> dict[str, str]:
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_sum([a.emb[i] * b.emb[i] for i in range(1, len(a.emb) + 1)])
         / (sqrt(list_sum([x * x for x in a.emb]))
-           * sqrt(list_sum([x * x for x in b.emb]))), 6) >= 0.9"""
+           * sqrt(list_sum([x * x for x in b.emb]))), 6) >= 0.35"""
     # ANN oracles: every trained-parameter set the Spark side persists is
     # DETERMINISTIC (seed-pinned hyperplanes; k-means on the lowest-id
     # sample), so both inline as SQL literals and DuckDB re-executes the

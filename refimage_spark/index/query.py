@@ -601,6 +601,12 @@ def warm_serving_pool(index_dir: str | None = None) -> None:
     ts = pq.read_table(
         os.path.join(index_dir, "term_stats.parquet"), columns=["term", "df"]
     )
+    if ts.num_rows == 0 or not pids:
+        # empty index: pc.index over zero rows returns -1 and the head-term
+        # lookup would die with an opaque IndexError during tier startup —
+        # fall back to the import-only warmup
+        list(pool.map(_mtime, ["/"] * (n * 4), chunksize=1))
+        return
     head_term = ts["term"][int(pc.index(ts["df"], pc.max(ts["df"])).as_py())]
     # oversubmit so idle workers (not any particular worker) each pick
     # up at least one full sweep with high probability
@@ -642,9 +648,13 @@ def search_local(
     global _ACTIVE_QUERIES
     with _ACTIVE_LOCK:
         _ACTIVE_QUERIES += 1
-        active = _ACTIVE_QUERIES
 
     def attempt():
+        # admission snapshot taken PER ATTEMPT: a self-heal retry during a
+        # load spike must see current load, not the budget captured at
+        # query entry (a stale too-generous fan-out under-admits everyone)
+        with _ACTIVE_LOCK:
+            active = _ACTIVE_QUERIES
         node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
         if active == 1 and len(pids) <= _INLINE_MAX_SEGMENTS:
             parts = [
@@ -763,9 +773,14 @@ def search_index(
 
 def index_stats(index_dir: str) -> dict:
     """K5 (reference get_stats, src/refimage/search/__init__.py:398-410):
-    corpus + index statistics from the manifest and stats.json."""
+    corpus + index statistics from the manifest and stats.json, plus
+    serving-tier observability (in-flight query count and pool
+    saturation — what an operator watches to size the tier)."""
     stats = load_stats(index_dir)
     manifest = read_manifest(index_dir)
+    with _ACTIVE_LOCK:
+        active = _ACTIVE_QUERIES
+    pool_workers = (os.cpu_count() or 4) if _SERVE_POOL is not None else 0
     return {
         "n_docs": stats["n_docs"],
         "avgdl": stats["avgdl"],
@@ -775,6 +790,15 @@ def index_stats(index_dir: str) -> dict:
         "post_bytes": sum(r["bytes"] for r in manifest),
         "num_parts": stats["num_parts"],
         "tokenizer": stats.get("tokenizer"),
+        "serving": {
+            "active_queries": active,
+            "pool_started": _SERVE_POOL is not None,
+            "pool_workers": pool_workers,
+            # >1.0 means queries are queueing behind the pool
+            "pool_saturation": (
+                round(active / pool_workers, 3) if pool_workers else 0.0
+            ),
+        },
     }
 
 

@@ -38,6 +38,10 @@ import glob as _glob
 import json
 import os
 import shutil
+import socket
+import threading
+import time
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -57,46 +61,177 @@ from refimage_spark.index.segment import (
 
 TOMBSTONES = "tombstones.parquet"
 MAINT_LOCK = ".maintenance.lock"
+LOCK_LEASE_SEC = 30.0
+
+
+def _lock_owner(path: str) -> dict | None:
+    """Owner record {host, pid, acquired} or None if unreadable (the
+    file vanished mid-read, or predates the lease format)."""
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _owner_alive(owner: dict | None, path: str, lease_sec: float) -> bool:
+    """Liveness judged safely for SHARED STORAGE:
+
+    - same host: a pid existence probe is authoritative; PermissionError
+      means the pid exists under another uid — that is ALIVE, not stale;
+    - different host (or an unreadable owner record): pids don't travel
+      across machines, so only LEASE EXPIRY — the heartbeat mtime going
+      older than ``lease_sec`` — may declare the owner dead. A live
+      remote holder keeps touching the file, so it never expires."""
+    if owner is not None and owner.get("host") == socket.gethostname():
+        pid = int(owner.get("pid", 0) or 0)
+        if pid > 0:
+            try:
+                os.kill(pid, 0)  # 0 = existence probe, no signal sent
+                return True
+            except ProcessLookupError:
+                return False  # owner died mid-maintenance
+            except PermissionError:
+                return True  # exists under another uid => alive
+    try:
+        return (time.time() - os.path.getmtime(path)) < lease_sec
+    except OSError:
+        return False  # vanished under us: nobody holds it
 
 
 @contextlib.contextmanager
-def maintenance_lock(index_dir: str):
+def maintenance_lock(
+    index_dir: str,
+    lease_sec: float = LOCK_LEASE_SEC,
+    blocking: bool = False,
+    timeout: float = 600.0,
+):
     """SINGLE-MAINTENANCE-WRITER guard shared by delete_docs / compact /
-    merge / update_doc_tags. Readers are always safe (atomic renames +
-    mtime-keyed caches), but maintenance ops are not transactional with
-    respect to EACH OTHER: a compact's sidecar rewrite racing a tag
-    update's would silently drop one of them, and a delete landing
-    between compact's tombstone read and its final tombstone removal
-    would be lost. O_EXCL lockfile holding the owner pid; contention
-    raises immediately (a serving-tier caller should retry, not block
-    behind a long compaction); a lock whose owner pid is dead is stale
-    and is stolen."""
+    merge / update_doc_tags / append. Readers are always safe (atomic
+    renames + mtime-keyed caches), but maintenance ops are not
+    transactional with respect to EACH OTHER: a compact's sidecar
+    rewrite racing a tag update's would silently drop one of them.
+
+    LEASE PROTOCOL (correct on shared storage across hosts):
+    - ACQUIRE is one atomic ``os.link(tmp, lock)`` with the owner record
+      {host, pid, acquired} already written to ``tmp`` — exactly one
+      contender's link succeeds, and no contender ever observes an
+      empty/partial lock file (the O_EXCL-create-then-write scheme had
+      that window).
+    - While held, a daemon heartbeat touches the lock every lease/3; the
+      mtime IS the lease. A long compaction never looks stale.
+    - STALENESS: same-host owners are probed by pid (PermissionError =
+      alive); remote owners are stale only when the lease has expired.
+    - STEAL renames the stale lock to a unique name FIRST — only one
+      renamer wins (the losers get FileNotFoundError and re-race the
+      link), so two contenders can never both "remove then create".
+
+    ``blocking=False`` (default) raises RuntimeError on live contention
+    — a serving-tier caller should retry, not block behind a long
+    compaction. ``blocking=True`` retries with backoff up to ``timeout``
+    seconds (streaming ingest uses this: a micro-batch append must wait
+    out a concurrent merge, not kill the stream).
+
+    Each judge/steal/link attempt runs under a same-host ``flock`` guard
+    (``.maintenance.guard``) — two local contenders can therefore never
+    interleave "judge stale → rename" against each other's fresh lock.
+    Cross-host stealers can't share the flock; they are protected by the
+    INODE CHECK below: a rename that turns out to have grabbed a
+    different inode than the one judged stale is undone. The residual
+    window (three hosts steal-colliding within the same few µs after a
+    ≥lease_sec expiry, defeating the restore) is accepted: maintenance
+    ops are themselves crash-safe and idempotent (supersession commits),
+    so a duplicated writer degrades to wasted work, not corruption — an
+    Iceberg/catalog conditional commit would close even that."""
+    import fcntl
+
     path = os.path.join(index_dir, MAINT_LOCK)
-    fd = None
-    while fd is None:
+    guard_path = f"{path}.guard"
+    me = {
+        "host": socket.gethostname(),
+        "pid": os.getpid(),
+        "acquired": time.time(),
+    }
+    tmp = f"{path}.acq-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(me, f)
+        f.flush()
+        os.fsync(f.fileno())
+    deadline = time.monotonic() + timeout
+    backoff = 0.05
+    acquired = False
+
+    def attempt_once() -> bool:
+        """One guarded judge/steal/link attempt. True = lock acquired;
+        False = retry; raises on live contention (non-blocking mode
+        decides what to do with it above)."""
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)  # atomic acquire, owner info in place
+            return True
         except FileExistsError:
-            try:
-                pid = int(open(path).read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
-            if pid > 0:
-                try:
-                    os.kill(pid, 0)  # 0 = existence probe, no signal sent
-                    raise RuntimeError(
-                        f"index maintenance already running (pid {pid}, "
-                        f"{path}); retry after it finishes"
-                    )
-                except ProcessLookupError:
-                    pass  # owner died mid-maintenance: stale
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(path)
+            pass
+        try:
+            judged_ino = os.stat(path).st_ino
+        except FileNotFoundError:
+            return False  # released under us: re-race the link
+        owner = _lock_owner(path)
+        if _owner_alive(owner, path, lease_sec):
+            raise RuntimeError(
+                f"index maintenance already running ({owner}, "
+                f"{path}); retry after it finishes"
+            )
+        stale = f"{path}.stale-{uuid.uuid4().hex}"
+        try:
+            os.rename(path, stale)  # exactly one stealer wins
+        except FileNotFoundError:
+            return False  # released or stolen under us: re-race
+        if os.stat(stale).st_ino != judged_ino:
+            # a cross-host contender replaced the stale lock between our
+            # judgment and our rename — we just grabbed a FRESH lock.
+            # Put the exact inode back (link restores it at the path);
+            # if a third party linked meanwhile, drop our copy and
+            # re-race — their lock stands.
+            with contextlib.suppress(FileExistsError):
+                os.link(stale, path)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(stale)
+        return False
+
     try:
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
+        with open(guard_path, "a") as guard:
+            while True:
+                fcntl.flock(guard, fcntl.LOCK_EX)
+                try:
+                    if attempt_once():
+                        acquired = True
+                        break
+                except RuntimeError:
+                    if not (blocking and time.monotonic() < deadline):
+                        raise
+                finally:
+                    fcntl.flock(guard, fcntl.LOCK_UN)
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 2.0)
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(tmp)  # the lock path keeps the inode alive
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop.wait(lease_sec / 3.0):
+            with contextlib.suppress(OSError):
+                os.utime(path)
+
+    beat = threading.Thread(
+        target=_heartbeat, name="maint-lock-heartbeat", daemon=True
+    )
+    beat.start()
+    try:
         yield
     finally:
+        stop.set()
+        beat.join(timeout=2.0)
         with contextlib.suppress(FileNotFoundError):
             os.remove(path)
 
@@ -182,6 +317,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
+    sweep_orphans(index_dir)  # reclaim leftovers of any crashed prior run
     tomb_path = os.path.join(index_dir, TOMBSTONES)
     if not os.path.exists(tomb_path):
         return {"compacted": 0}
@@ -253,6 +389,40 @@ def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
     os.remove(tomb_path)
     _recompute_global_stats(spark, index_dir)  # AFTER segments reflect removal
     return {"compacted": int(tomb.size), "segments": len(pids)}
+
+
+def sweep_orphans(index_dir: str) -> int:
+    """Garbage-collect superseded segment rows/files a crash left behind.
+
+    compact and run_merge_policy DEFER source cleanup to the end of the
+    run (one reader-visible flip window per run); a crash after the
+    per-group commits but before that cleanup therefore leaks the
+    superseded rows/files permanently — ``read_manifest`` filters them
+    so correctness holds, but no later path would ever delete them
+    (merge's idempotency cleanup only fires for an identical re-planned
+    pid set, which the filtered manifest never produces again). This
+    sweep runs at the START of every compact/policy run, under the
+    maintenance lock: any pid appearing in a committed row's
+    ``merged_from`` is garbage by definition. Returns the number of
+    orphaned manifest rows removed."""
+    mdir = os.path.join(index_dir, "manifest")
+    if not os.path.isdir(mdir):
+        return 0
+    rows = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    rows.append(json.load(f))
+            except (OSError, ValueError):
+                continue
+    superseded: set[int] = set()
+    for r in rows:
+        superseded.update(int(p) for p in (r.get("merged_from") or []))
+    n_orphan_rows = sum(1 for r in rows if r["partition_id"] in superseded)
+    if superseded:
+        _cleanup_merged_sources(index_dir, sorted(superseded))
+    return n_orphan_rows
 
 
 def _cleanup_merged_sources(index_dir: str, pids: list[int]) -> None:
@@ -439,6 +609,7 @@ def _run_merge_policy_locked(
     max_merge: int,
     max_rounds: int,
 ) -> dict:
+    sweep_orphans(index_dir)  # reclaim leftovers of any crashed prior run
     merged_total: list[list[int]] = []
     n_rounds = 0
     for _ in range(max_rounds):
@@ -616,7 +787,11 @@ def _update_doc_tags_locked(
 
 
 def append_pages(
-    spark: SparkSession, new_pages: DataFrame, index_dir: str
+    spark: SparkSession,
+    new_pages: DataFrame,
+    index_dir: str,
+    lock_blocking: bool = False,
+    lock_timeout: float = 600.0,
 ) -> dict:
     """Log-structured append: index new pages as ADDITIONAL segments.
 
@@ -628,8 +803,13 @@ def append_pages(
     Takes the maintenance lock: append allocates ids/pids from current
     maxima and refreshes stats.json/term_stats/docs.parquet, all of
     which a concurrent compact/merge/update also touches.
+    ``lock_blocking=True`` waits out a concurrent maintenance op instead
+    of raising — streaming ingest passes it so a micro-batch landing
+    during a merge retries rather than killing the whole stream.
     """
-    with maintenance_lock(index_dir):
+    with maintenance_lock(
+        index_dir, blocking=lock_blocking, timeout=lock_timeout
+    ):
         return _append_pages_locked(spark, new_pages, index_dir)
 
 

@@ -58,7 +58,13 @@ def stream_ingest_pages(
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        append_pages(batch.sparkSession, batch, index_dir)
+        # lock_blocking: a concurrent compact/merge/delete holds the
+        # maintenance lock; waiting it out (backoff inside the lock) is
+        # correct here — an immediate raise would kill the whole
+        # streaming query. If the wait still times out, the query fails
+        # and checkpoint replay makes the retry safe (replayed urls are
+        # dropped by append's anti-join).
+        append_pages(batch.sparkSession, batch, index_dir, lock_blocking=True)
 
     writer = (
         stream.writeStream.foreachBatch(handle)

@@ -249,8 +249,11 @@ def test_update_doc_tags_lifecycle(spark, small_index):
 
 def test_maintenance_lock_exclusion_and_stale_steal(spark, small_index):
     """The single-maintenance-writer lock: a held lock makes concurrent
-    maintenance raise immediately; a lock whose owner died is stolen."""
+    maintenance raise immediately; a lock whose same-host owner died is
+    stolen (pid probe is authoritative on the same host)."""
+    import json
     import os
+    import socket
 
     from refimage_spark.index.merge import MAINT_LOCK, maintenance_lock
 
@@ -258,12 +261,164 @@ def test_maintenance_lock_exclusion_and_stale_steal(spark, small_index):
         with pytest.raises(RuntimeError, match="maintenance already"):
             delete_docs(small_index, [1])
     delete_docs(small_index, [1])  # released -> works again
-    # stale lock (dead pid) is stolen, not fatal
+    # stale lock (same host, dead pid) is stolen, not fatal
     lock_path = os.path.join(small_index, MAINT_LOCK)
     with open(lock_path, "w") as f:
-        f.write("999999999")
+        json.dump({"host": socket.gethostname(), "pid": 999999999}, f)
     delete_docs(small_index, [2])
     assert not os.path.exists(lock_path)
+
+
+def test_maintenance_lock_lease_cross_host(spark, small_index):
+    """Cross-host semantics on shared storage, where pid probes are
+    meaningless: a REMOTE owner's lock is respected while its lease
+    (heartbeat mtime) is fresh — even though the pid doesn't exist here
+    — and taken over only once the lease expires."""
+    import json
+    import os
+    import time
+
+    from refimage_spark.index.merge import MAINT_LOCK, maintenance_lock
+
+    lock_path = os.path.join(small_index, MAINT_LOCK)
+    # a live-looking remote holder: unknown host, fresh mtime, dead pid
+    with open(lock_path, "w") as f:
+        json.dump({"host": "some-other-executor-host", "pid": 999999999}, f)
+    with pytest.raises(RuntimeError, match="maintenance already"):
+        with maintenance_lock(small_index, lease_sec=30.0):
+            pass
+    assert os.path.exists(lock_path)  # the live remote lock was NOT stolen
+    # expire the lease: heartbeat mtime older than lease_sec -> takeover
+    old = time.time() - 120.0
+    os.utime(lock_path, (old, old))
+    with maintenance_lock(small_index, lease_sec=30.0):
+        owner = json.load(open(lock_path))
+        assert owner["pid"] == os.getpid()  # we now hold it
+    assert not os.path.exists(lock_path)
+
+
+def test_maintenance_lock_heartbeat_and_blocking(spark, small_index):
+    """(a) the holder's heartbeat keeps the lease fresh, so a long op
+    never looks stale to a lease-based contender; (b) blocking=True
+    waits out a live holder instead of raising (the streaming-ingest
+    mode)."""
+    import os
+    import threading
+    import time
+
+    from refimage_spark.index.merge import MAINT_LOCK, maintenance_lock
+
+    lock_path = os.path.join(small_index, MAINT_LOCK)
+    entered = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        # tiny lease: heartbeat fires every ~0.17s
+        with maintenance_lock(small_index, lease_sec=0.5):
+            entered.set()
+            release.wait(10.0)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert entered.wait(5.0)
+    time.sleep(1.5)  # several lease periods pass while held
+    # without the heartbeat the mtime would now be ~1.5s old (> lease);
+    # with it the file is re-touched every lease/3 — allow VM jitter
+    assert time.time() - os.path.getmtime(lock_path) < 1.0
+    # blocking contender acquires as soon as the holder releases
+    got = threading.Event()
+
+    def contender():
+        with maintenance_lock(small_index, blocking=True, timeout=10.0):
+            got.set()
+
+    c = threading.Thread(target=contender)
+    c.start()
+    time.sleep(0.3)
+    assert not got.is_set()  # still waiting behind the live holder
+    release.set()
+    t.join(5.0)
+    assert got.wait(5.0)  # acquired after release, no RuntimeError
+    c.join(5.0)
+
+
+def test_maintenance_lock_contender_race(spark, small_index):
+    """TOCTOU regression: many threads racing a STALE lock — exactly one
+    may hold the lock at a time, and nobody removes a freshly acquired
+    lock out from under its winner (the old remove-then-create scheme
+    could). The critical-section counter must never see 2."""
+    import json
+    import os
+    import socket
+    import threading
+    import time
+
+    from refimage_spark.index.merge import MAINT_LOCK, maintenance_lock
+
+    lock_path = os.path.join(small_index, MAINT_LOCK)
+    errors: list[Exception] = []
+    inside = [0]
+    max_inside = [0]
+    guard = threading.Lock()
+
+    def worker():
+        try:
+            with maintenance_lock(small_index, blocking=True, timeout=30.0):
+                with guard:
+                    inside[0] += 1
+                    max_inside[0] = max(max_inside[0], inside[0])
+                time.sleep(0.01)
+                with guard:
+                    inside[0] -= 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    for _ in range(3):  # three rounds, each starting from a stale lock
+        with open(lock_path, "w") as f:
+            json.dump({"host": socket.gethostname(), "pid": 999999999}, f)
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30.0)
+    assert not errors, errors
+    assert max_inside[0] == 1
+    assert not os.path.exists(lock_path)
+
+
+def test_sweep_orphans_reclaims_crashed_merge(spark, tmp_path):
+    """A crash between a merge commit and the deferred source cleanup
+    leaks superseded rows/files; sweep_orphans (run at compact/policy
+    start) reclaims them without changing query results."""
+    import glob
+    import os
+
+    from refimage_spark.index.merge import merge_segments, sweep_orphans
+    from refimage_spark.index.query import search_local
+
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, generate_pages(spark, 600, seed=7, partitions=4), d,
+        num_parts=8,
+    )
+    before = search_local(d, "red car", k=10)
+    # simulate the crash: merge with cleanup=False leaves the superseded
+    # sources on disk exactly like a policy run dying before its final
+    # _cleanup_merged_sources
+    merge_segments(d, [0, 1, 2], cleanup=False)
+    leaked_rows = [
+        p
+        for p in glob.glob(os.path.join(d, "manifest", "part-*.json"))
+        if os.path.basename(p) in
+        {"part-00000.json", "part-00001.json", "part-00002.json"}
+    ]
+    assert len(leaked_rows) == 3  # rows still on disk (filtered, not gone)
+    assert sweep_orphans(d) == 3
+    for p in leaked_rows:
+        assert not os.path.exists(p)
+    assert not glob.glob(os.path.join(d, "segments", "seg-0000[012].*"))
+    assert search_local(d, "red car", k=10) == before
+    assert sweep_orphans(d) == 0  # idempotent
 
 
 def test_maintenance_lifecycle_under_concurrent_search(spark, tmp_path):

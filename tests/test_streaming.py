@@ -134,3 +134,105 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path, sf_dir):
     }
     q.stop()
     assert got == want
+
+
+def test_stream_ingest_during_maintenance_equals_batch_twin(spark, tmp_path):
+    """The remaining lifecycle composition: stream_ingest_pages APPENDING
+    (micro-batches taking the maintenance lock in blocking mode) while
+    the size-tiered merge policy runs and search_local hammers. Asserts
+    (a) the streaming query survives lock contention (no failure, drains
+    fully), (b) the hammer never errors and never sees a stale read, and
+    (c) the final incremental index is query-identical (same n_docs /
+    avgdl / per-term df / full per-url score sets) to a batch-built twin
+    over the same logical corpus.
+
+    The corpus is ONE seed's rows 0..1399 split base=[0,800) +
+    stream=[800,1400) so url-dup (i%199==7) and content-dup (i%97==3)
+    pairs never straddle the base/stream or micro-batch boundaries —
+    both paths then dedup identically by construction."""
+    import glob
+    import json
+    import shutil
+    import threading
+
+    from pyspark.sql import functions as SF
+
+    from refimage_spark.index.merge import run_merge_policy
+    from refimage_spark.index.query import search_local
+    from refimage_spark.sources.pages import _EPOCH_S
+
+    allp = generate_pages(spark, 1400, seed=31, partitions=4).withColumn(
+        "i", ((SF.col("warc_ts").cast("long") - SF.lit(_EPOCH_S)) / 17).cast("long")
+    )
+    allp.cache().count()
+    idx = str(tmp_path / "idx")
+    build_index(spark, allp.where("i < 800").drop("i"), idx, num_parts=8)
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    # 8 stream files of 75 docs; maxFilesPerTrigger=4 -> 2 micro-batches
+    for k in range(8):
+        lo, hi = 800 + 75 * k, 875 + 75 * k
+        slice_dir = str(tmp_path / f"slice{k}")
+        allp.where(f"i >= {lo} AND i < {hi}").drop("i").coalesce(1).write.parquet(
+            slice_dir
+        )
+        (part,) = glob.glob(f"{slice_dir}/part-*.parquet")
+        shutil.move(part, os.path.join(inbox, f"batch-{k:02d}.parquet"))
+
+    errors: list[Exception] = []
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                res = search_local(idx, "car", k=5)
+                assert len(res) == 5
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    h = threading.Thread(target=hammer)
+    h.start()
+    q = stream_ingest_pages(spark, inbox, idx, str(tmp_path / "ckpt"), True)
+    # merge policy runs CONCURRENTLY with the streaming appends — each
+    # contends for the maintenance lock; the blocking append waits it out
+    for _ in range(3):
+        run_merge_policy(idx, spark=None, min_merge=4)
+    assert q.awaitTermination(600), "streaming ingest did not drain"
+    run_merge_policy(idx, spark=None, min_merge=4)  # settle remaining tiers
+    stop.set()
+    h.join(30.0)
+    assert not errors, errors
+
+    # batch twin over the same logical corpus
+    twin = str(tmp_path / "twin")
+    build_index(spark, allp.drop("i"), twin, num_parts=8)
+    st_i = json.load(open(f"{idx}/stats.json"))
+    st_t = json.load(open(f"{twin}/stats.json"))
+    assert st_i["n_docs"] == st_t["n_docs"]
+    assert abs(st_i["avgdl"] - st_t["avgdl"]) < 1e-9
+
+    def dfs(d):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{d}/term_stats.parquet")
+        return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
+    assert dfs(idx) == dfs(twin)
+
+    def url_scores(d, query):
+        umap = {
+            r.doc_id: r.url
+            for r in spark.read.parquet(f"{d}/docs.parquet")
+            .select("doc_id", "url")
+            .collect()
+        }
+        return {
+            (umap[doc], round(s, 6))
+            for doc, s in search_local(d, query, k=10_000)
+        }
+
+    for query in ("car", "red car", "beach sunset NOT person"):
+        assert url_scores(idx, query) == url_scores(twin, query), query
+    allp.unpersist()

@@ -147,6 +147,30 @@ def main() -> None:
     extras["query_spark_df_sec"] = timed(
         lambda: search_index(spark, idx_dir, INDEX_QUERIES[0], k=10).collect()
     )
+    # WAND opt-in instrumentation on the head-term query: wall time vs the
+    # vectorized default + decoded/total block counters. Kept auditable
+    # every round because the serving default (vectorized) is a MEASURED
+    # choice — see BENCH/BASELINE.md "WAND regime": at cache-sized
+    # segments the numpy sweep wins on wall time, and on this flat-score
+    # corpus rank-safe pruning cannot skip blocks at k=10.
+    wand_ctr: dict = {}
+
+    def _wand_lap():
+        wand_ctr.clear()  # counters accumulate; report one lap's worth
+        search_local(idx_dir, "car", k=10, use_wand=True, counters=wand_ctr)
+
+    extras["wand_head_term_sec"] = timed(_wand_lap)
+    extras["vec_head_term_sec"] = timed(
+        lambda: search_local(idx_dir, "car", k=10)
+    )
+    extras["wand_decoded_blocks"] = wand_ctr.get("decoded_blocks", 0)
+    extras["wand_total_blocks"] = wand_ctr.get("total_blocks", 0)
+    extras["wand_block_skip_pct"] = round(
+        100.0
+        * (1 - wand_ctr.get("decoded_blocks", 0)
+           / max(wand_ctr.get("total_blocks", 1), 1)),
+        1,
+    )
     # serving throughput under concurrency: 8 closed-loop clients each
     # replaying the reference query set. Under load each query runs as
     # ONE process-pool task (the kernel is GIL-bound, so threads can't

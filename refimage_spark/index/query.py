@@ -341,15 +341,24 @@ def wand_topk_segment(
     weight: float = 1.0,
     threshold: float = 0.0,
     counters: dict | None = None,
+    tomb: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k for a bag-of-terms query via block-max WAND pruning.
 
     Rank-identical to the vectorized scorer (regression-tested, including
     the BMW pivot-extension case). ``counters`` (optional) receives
-    decoded_blocks/total_blocks instrumentation."""
+    decoded_blocks/total_blocks instrumentation. ``tomb`` (sorted or
+    unsorted doc ids) makes the loop TOMBSTONE-AWARE: a tombstoned pivot
+    is skipped without scoring, so it never occupies a top-k slot — the
+    same invariant the vectorized path enforces by masking before topk —
+    and WAND no longer has to disable itself while deletes are pending
+    compaction."""
     present = reader.lookup_terms([t for t in dict.fromkeys(terms) if t in idfs])
     if not present:
         return np.empty(0, np.int64), np.empty(0, np.float64)
+    tomb_sorted = (
+        np.sort(tomb) if tomb is not None and tomb.size else None
+    )
     norm_ids, norm_dls, _ = reader.norms()
     cursors: list[_Cursor] = []
     for t, entry in present.items():
@@ -411,10 +420,18 @@ def wand_topk_segment(
         while pivot_i + 1 < len(live) and live[pivot_i + 1].cur() == pivot_doc:
             pivot_i += 1
         if live[0].cur() == pivot_doc:
+            matching = live[: pivot_i + 1]
+            if tomb_sorted is not None:
+                ti = int(np.searchsorted(tomb_sorted, pivot_doc))
+                if ti < tomb_sorted.size and tomb_sorted[ti] == pivot_doc:
+                    # tombstoned: a non-candidate — never scored, never in
+                    # the heap (its slot stays free for a live doc)
+                    for c in matching:
+                        c.advance()
+                    continue
             # every cursor in live[:pivot_i+1] sits ON pivot_doc here
             # (live is cur()-sorted), so its CURRENT block bound applies
-            block_acc = sum(c.block_bound_at() for c in live[: pivot_i + 1])
-            matching = live[: pivot_i + 1]
+            block_acc = sum(c.block_bound_at() for c in matching)
             if block_acc >= req or len(heap) < k:
                 s = score_doc(pivot_doc, matching)
                 if s >= threshold:
@@ -470,6 +487,7 @@ def _segment_topk(
     threshold: float,
     wand: bool,
     tomb: np.ndarray | None,
+    counters: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One segment's exact top-k — the shared kernel for both the Spark
     and the local serving path (rank-identical by construction)."""
@@ -483,6 +501,8 @@ def _segment_topk(
             k,
             weight=node.weight,
             threshold=threshold,
+            counters=counters,
+            tomb=tomb,
         )
     ids, sc = eval_node(reader, node, idfs, avgdl, threshold)
     if tomb is not None and ids.size:
@@ -551,16 +571,22 @@ def _serve_pool():
 
 
 def _serve_chunk(
-    index_dir: str, query: str, k: int, threshold: float, pids: list[int]
+    index_dir: str,
+    query: str,
+    k: int,
+    threshold: float,
+    pids: list[int],
+    use_wand: bool = False,
 ):
     """Process-pool worker: evaluate a slice of segments sequentially.
     Re-plans from the query string (worker-local mtime-keyed caches make
     that ~0.1 ms warm) so only tiny picklables cross the IPC boundary."""
     node, avgdl, idfs, _, tomb = _query_plan(index_dir, query)
+    wand = use_wand and isinstance(node, dsl.TextQuery)
     return _merge_parts(
         [
             _segment_topk(
-                index_dir, p, node, idfs, avgdl, k, threshold, False, tomb
+                index_dir, p, node, idfs, avgdl, k, threshold, wand, tomb
             )
             for p in pids
         ],
@@ -624,6 +650,8 @@ def search_local(
     k: int = 10,
     threshold: float = 0.0,
     workers: int | None = None,
+    use_wand: bool = False,
+    counters: dict | None = None,
 ) -> list[tuple[int, float]]:
     """The SERVING path: evaluate the query against the segment files
     directly — no Spark session, no job dispatch, no driver roundtrip.
@@ -644,7 +672,18 @@ def search_local(
       number of in-flight queries (floor 1) — admission control that
       trades lone-query latency for aggregate throughput under load.
     ``workers`` caps the per-query fan-out (a concurrency hint; the
-    shared pool itself is always sized from os.cpu_count())."""
+    shared pool itself is always sized from os.cpu_count()).
+
+    ``use_wand`` opts a pure-text query into the block-max WAND scorer
+    (now tombstone-aware). It is an OPT-IN, not the default, by
+    measurement: at cache-sized segments (the P-scaling rule) the
+    vectorized numpy sweep beats the Python document-at-a-time loop
+    20x+, and on flat-score corpora rank-safe pruning cannot skip
+    blocks at k=10 anyway (every block bound ties the kth score) — see
+    BENCH/BASELINE.md "WAND regime". Its block-skip IO savings matter on
+    the Spark path's fat segments with idf-skewed queries. ``counters``
+    receives decoded_blocks/total_blocks on the inline path (pool chunks
+    run in worker processes, which can't fill a caller-side dict)."""
     global _ACTIVE_QUERIES
     with _ACTIVE_LOCK:
         _ACTIVE_QUERIES += 1
@@ -656,10 +695,12 @@ def search_local(
         with _ACTIVE_LOCK:
             active = _ACTIVE_QUERIES
         node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
+        wand = use_wand and isinstance(node, dsl.TextQuery)
         if active == 1 and len(pids) <= _INLINE_MAX_SEGMENTS:
             parts = [
                 _segment_topk(
-                    index_dir, p, node, idfs, avgdl, k, threshold, False, tomb
+                    index_dir, p, node, idfs, avgdl, k, threshold, wand,
+                    tomb, counters,
                 )
                 for p in pids
             ]
@@ -673,7 +714,9 @@ def search_local(
         )
         chunks = [pids[i::n_chunks] for i in range(n_chunks)]
         futs = [
-            pool.submit(_serve_chunk, index_dir, query, k, threshold, c)
+            pool.submit(
+                _serve_chunk, index_dir, query, k, threshold, c, use_wand
+            )
             for c in chunks
         ]
         return _merge_parts([f.result() for f in futs], k)
@@ -737,9 +780,10 @@ def search_index(
     from pyspark.sql import functions as F
 
     node, avgdl, idfs, pids, tomb = _query_plan(index_dir, query)
-    # WAND prunes docs before scoring, so it can't see tombstones that
-    # would free top-k slots — fall back to the exact full-eval path then.
-    is_pure_text = isinstance(node, dsl.TextQuery) and tomb is None
+    # WAND applies to bag-of-terms leaves; the loop is tombstone-aware
+    # (skipped pivots free their top-k slots), so deletes pending
+    # compaction no longer force the full-eval fallback.
+    is_pure_text = isinstance(node, dsl.TextQuery)
     wand = is_pure_text if use_wand is None else (use_wand and is_pure_text)
     idx_dir = index_dir
     if mode == "auto":

@@ -518,6 +518,44 @@ needs. At 10^4+ segments the same pool serves chunked single-query
 fan-out, so one node's latency AND fleet throughput come from the same
 admission-controlled pool.
 
+## WAND regime (round 5 — tombstone-aware, measured serving default)
+
+The block-max WAND loop is now TOMBSTONE-AWARE (a tombstoned pivot is
+skipped unscored, freeing its top-k slot — property-tested rank-identical
+to the vectorized masked path), so it no longer self-disables while
+deletes are pending compaction, and the serving path can opt in
+(search_local(use_wand=True), decoded/total block counters published in
+every BENCH as wand_*). The serving DEFAULT stays vectorized, by
+measurement on the bench corpus (20k pages / 32 parts, warm caches,
+top-10):
+
+| query | vectorized | WAND | blocks decoded |
+|---|---|---|---|
+| head term ("red") | 6.9 ms | 176 ms | 165/165 (100%) |
+| head+head ("red car") | 10.4 ms | 215 ms | 330/330 (100%) |
+| head+rare ("red w9945") | 7.2 ms | 172 ms | 180/180 (100%) |
+| 4-term | 20.0 ms | 296 ms | 385/385 (100%) |
+| fat segments (100k pages / 2 parts), "car" | 16.5 ms | 797 ms | 764/764 (100%) |
+
+Two independent reasons, both structural:
+1. **Wall time**: the per-segment kernel is numpy over cache-sized
+   arrays (~0.5 ms/segment); WAND is a Python document-at-a-time loop —
+   20-40x slower whenever it cannot skip most blocks.
+2. **No rank-safe skips on this corpus at k=10**: scores are flat
+   (tf mostly 1) and dl is uncorrelated with doc id, so every 128-posting
+   block contains a near-min-dl doc — its q(max_tf, min_dl) bound TIES
+   the kth score, and pruning must be strict (ties can win on doc-id
+   tiebreak). 0% skippable is the data's fault, not the loop's: on an
+   idf-skewed fixture (rare high-idf + common low-idf term, k=1) the same
+   loop skips 8/10 of the common term's blocks undecoded
+   (tests/test_index_engine.py::test_wand_skips_block_decode).
+
+WAND's regime is therefore: fat segments (the Spark path at 10^4+ docs/
+segment), idf- or tf-skewed scores (real webtext is Zipfian; this
+synthetic corpus deliberately isn't), small k relative to the skew. The
+machinery stays correct and instrumented there; the serving tier keeps
+the measured winner as default.
+
 Raw runs:
 ```json
 {json.dumps({"upfront_calibration": cal, "per_pair": pair_effs, "runs": results}, indent=1)}

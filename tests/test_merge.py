@@ -78,6 +78,36 @@ def test_wand_rank_safe_after_stats_drift(spark, small_index):
         assert a.score == pytest.approx(b.score, rel=1e-12)
 
 
+def test_wand_rank_identity_under_tombstones(spark, small_index):
+    """Tombstone-aware WAND: with deletes pending compaction, the WAND
+    path must (a) run at all (it used to force the full-eval fallback),
+    (b) exclude tombstoned docs, and (c) free their top-k slots — rank-
+    and score-identical to the vectorized masked path, on BOTH the
+    spark-mode search and the serving opt-in."""
+    from refimage_spark.index.query import search_local
+
+    # tombstone half of the current top-10 so slots must be refilled
+    base = search_index(spark, small_index, "red car", k=10,
+                        use_wand=False, mode="spark").collect()
+    victims = [r.doc_id for r in base[::2]]
+    delete_docs(small_index, victims)
+    wand = search_index(spark, small_index, "red car", k=10,
+                        use_wand=True, mode="spark").collect()
+    full = search_index(spark, small_index, "red car", k=10,
+                        use_wand=False, mode="spark").collect()
+    assert len(wand) == 10  # slots freed and refilled
+    assert not (set(victims) & {r.doc_id for r in wand})
+    assert [r.doc_id for r in wand] == [r.doc_id for r in full]
+    for a, b in zip(wand, full):
+        assert a.score == pytest.approx(b.score, rel=1e-12)
+    # serving opt-in: counters prove the WAND loop actually ran
+    ctr: dict = {}
+    local = search_local(small_index, "red car", k=10, use_wand=True,
+                         counters=ctr)
+    assert ctr.get("total_blocks", 0) > 0
+    assert [d for d, _ in local] == [r.doc_id for r in full]
+
+
 def test_merge_crash_between_commit_and_cleanup_is_safe(spark, small_index):
     """The merged row's manifest write is the COMMIT POINT: if the
     source rows/files survive a crash after it, read_manifest must

@@ -99,3 +99,17 @@ def test_segment_roundtrip_and_wand_rank_identity(tmp_path_factory, postings, k)
     wids, wsc = wand_topk_segment(reader, terms, idfs, 10.0, k)
     assert wids.tolist() == vids.tolist()
     np.testing.assert_allclose(wsc, vsc, rtol=1e-12)
+    # tombstone-aware WAND: tombstoned docs are non-candidates and must
+    # FREE their top-k slots — identical to vectorized mask-before-topk
+    all_docs = np.unique(
+        np.concatenate([np.fromiter(v, np.int64, len(v)) for v in postings.values()])
+    )
+    tomb = all_docs[::3]  # deterministic subset incl. top scorers
+    fids, fsc = eval_node(
+        reader, dsl.TextQuery(" ".join(terms), 1.0), idfs, 10.0, 0.0
+    )
+    m = ~np.isin(fids, tomb)
+    fids, fsc = topk_arrays(fids[m], fsc[m], k)
+    tids, tsc = wand_topk_segment(reader, terms, idfs, 10.0, k, tomb=tomb)
+    assert tids.tolist() == fids.tolist()
+    np.testing.assert_allclose(tsc, fsc, rtol=1e-12)

@@ -94,7 +94,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
     n_docs = docs.count()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
-    emb.count()
+    n_emb = emb.count()
     corpus = Corpus.from_documents(docs)
 
     times: dict[str, float] = {}
@@ -225,6 +225,105 @@ def main() -> None:
     times["ann_build"] = round(time.perf_counter() - t0, 4)
     times["ann_ivf"] = timed(lambda: SIM.ivf_topk(spark, ann_dir, qv, k=10).collect())
     times["ann_lsh"] = timed(lambda: SIM.lsh_topk(spark, ann_dir, qv, k=10).collect())
+
+    # --- sf1.0: the 10x scale point (SPARK_GRAFT_SF1=0 skips) ----------------
+    # Everything above proves sf0.1 (20k pages / 32 segments, where the
+    # inline serving path covers the whole index); this section re-runs the
+    # headliners at 10x — 200k pages / 320 segments — so the CHUNKED
+    # process-pool serving path and the 10x dedup/ANN tables are in the
+    # headline artifact, not just an appendix. num_parts scales 10x with
+    # the corpus (the measured P-scaling rule: per-part working set stays
+    # cache-sized). documents/embeddings at 10x are synthesized
+    # deterministically (sources/synth.py) — the driver testdata stops at
+    # sf0.1.
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "1":
+        from refimage_spark.sources.synth import (
+            generate_documents,
+            generate_embeddings,
+        )
+
+        sf1: dict = {}
+        scratch = tempfile.mkdtemp(prefix="bench_sf1_")
+        generate_pages(
+            spark, PAGES_N * 10, seed=42, partitions=int(CPUS)
+        ).write.parquet(f"{scratch}/pages")
+        pages1 = spark.read.parquet(f"{scratch}/pages")
+        laps1 = []
+        for _ in range(3):
+            idx1 = tempfile.mkdtemp(prefix="bench_sf1_idx_")
+            t0 = time.perf_counter()
+            m1 = build_index(spark, pages1, idx1, num_parts=320)
+            laps1.append(time.perf_counter() - t0)
+        sf1["build_sec"] = round(sorted(laps1)[1], 4)
+        sf1["build_laps"] = [round(x, 2) for x in laps1]
+        sf1["build_docs_per_sec"] = round(m1["n_docs"] / sf1["build_sec"], 1)
+        sf1["n_docs"] = m1["n_docs"]
+        sf1["n_segments"] = 320
+        sf1["index_bytes"] = m1["post_bytes"]
+
+        # serving at 320 segments: every query runs the chunked
+        # process-pool path (320 > inline threshold 128)
+        warm_serving_pool(idx1)
+        lat1 = []
+        for q in INDEX_QUERIES:
+            t0 = time.perf_counter()
+            search_local(idx1, q, k=10)
+            lat1.append(time.perf_counter() - t0)
+        ls1 = sorted(lat1)
+        sf1["query_p50_sec"] = round(ls1[len(ls1) // 2], 4)
+        sf1["query_p95_sec"] = round(ls1[int(len(ls1) * 0.95) - 1], 4)
+        sf1["query_qps_1client"] = round(len(lat1) / sum(lat1), 1)
+
+        def _client1(reps: int = 3) -> int:
+            for _ in range(reps):
+                for q in INDEX_QUERIES:
+                    search_local(idx1, q, k=10)
+            return reps * len(INDEX_QUERIES)
+
+        for nc in (8, 16):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=nc) as cl:
+                n_q = sum(
+                    f.result() for f in [cl.submit(_client1) for _ in range(nc)]
+                )
+            sf1[f"query_qps_{nc}clients"] = round(
+                n_q / (time.perf_counter() - t0), 1
+            )
+
+        # dedup / ANN over the 10x tables
+        generate_documents(
+            spark, n_docs * 10, seed=42, partitions=int(CPUS)
+        ).write.parquet(f"{scratch}/documents")
+        docs1 = spark.read.parquet(f"{scratch}/documents").cache()
+        sf1["n_documents"] = docs1.count()
+        generate_embeddings(
+            spark, n_emb * 10, seed=42, partitions=int(CPUS)
+        ).write.parquet(f"{scratch}/embeddings")
+        emb1 = spark.read.parquet(f"{scratch}/embeddings").cache()
+        sf1["n_embeddings"] = emb1.count()
+        sf1["dedup_exact"] = timed(lambda: D.exact_dedup(docs1).count())
+        sf1["dedup_minhash"] = timed(
+            lambda: D.minhash_neardup_pairs(docs1, threshold=0.4).count()
+        )
+        sf1["dedup_simhash"] = timed(
+            lambda: D.simhash_neardup_pairs(docs1, max_hamming=3).count()
+        )
+        qv1 = [float(x) for x in emb1.where("vec_id = 0").head()["embedding"]]
+        sf1["ann_exact"] = timed(
+            lambda: SIM.cosine_topk(emb1, qv1, k=10).collect()
+        )
+        ann1 = tempfile.mkdtemp(prefix="bench_sf1_ann_")
+        t0 = time.perf_counter()
+        SIM.build_lsh_index(emb1, ann1, dim=64)
+        SIM.build_ivf_index(emb1, ann1)
+        sf1["ann_build"] = round(time.perf_counter() - t0, 4)
+        sf1["ann_ivf"] = timed(
+            lambda: SIM.ivf_topk(spark, ann1, qv1, k=10).collect()
+        )
+        sf1["ann_lsh"] = timed(
+            lambda: SIM.lsh_topk(spark, ann1, qv1, k=10).collect()
+        )
+        extras["sf1"] = sf1
 
     total = round(sum(times.values()), 4)
     print(

@@ -518,6 +518,41 @@ needs. At 10^4+ segments the same pool serves chunked single-query
 fan-out, so one node's latency AND fleet throughput come from the same
 admission-controlled pool.
 
+## sf0.1 -> sf1.0 side-by-side (round 5 — the 10x bench point)
+
+bench.py now re-runs the headliners at 10x — 200k pages / 320 segments,
+plus 50k-doc documents and 20k-vector embeddings tables synthesized
+deterministically (sources/synth.py; the driver testdata stops at sf0.1)
+— so the CHUNKED process-pool serving path and the 10x pipeline ops sit
+in the headline BENCH artifact, not an appendix. One session, local[32],
+num_parts scaled 10x with the corpus per the P-scaling rule:
+
+| metric | sf0.1 (19.7k docs, 32 segs) | sf1.0 (197k docs, 320 segs) | 10x behavior |
+|---|---|---|---|
+| build median-of-3 | 3.91s = 5,035 docs/s | 10.89s = **18,095 docs/s** | 10x docs in 2.8x wall — strongly sublinear (laps 11.7/10.9/10.2) |
+| query p50 / p95 | 0.017 / 0.023s (inline) | 0.059 / **0.074s** (pooled, 5-chunk fan-out) | p95 <= 0.35 bar MET at 10x |
+| qps 1 client | 62.9 | 17.1 | per-query CPU ~ segment count |
+| qps 8 clients | 373.3 | 97.8 (**5.7x** single) | >= 3x bar MET at 10x |
+| qps 16 clients | 620 (r4 appendix) | 90.0 | saturated — see below |
+| dedup minhash | 2.45s | 22.5s | 10x docs, 9.2x wall (banded LSH join near-linear) |
+| dedup simhash | 2.78s | 17.7s | 6.4x |
+| ann build (LSH+IVF) | 5.31s | 12.5s | 10x vectors, 2.4x wall |
+| ann lsh / ivf query | 0.19 / 0.13s | 0.43 / 0.22s | partition-pruned scans stay sub-second |
+| index bytes | 9,677,282 | 98,544,834 | 10.2x — format linear |
+
+Two honest notes on the numbers:
+- The sf1.0 build's higher docs/s is real but partly fixed-cost
+  amortization: a 20k-page build spends a visible fraction of its ~4s
+  on task/stage launch; at 200k pages the same fixed cost dilutes into
+  an 11s job. Per-pass linearity evidence is in the DATA-scaling section
+  above.
+- 16 clients do NOT beat 8 at sf1.0 (90 vs 98 qps): a 320-segment query
+  costs ~0.16 CPU-seconds of kernel work, and this VM delivers ~13
+  effective cores, so cores/(CPU-per-query) ~ 80-100 qps — the pool hit
+  its correct asymptote at 8 clients and 16 only adds queueing. At
+  sf0.1 (32 segments, ~16ms/query) the same formula gives the 370-620
+  qps measured there.
+
 ## WAND regime (round 5 — tombstone-aware, measured serving default)
 
 The block-max WAND loop is now TOMBSTONE-AWARE (a tombstoned pivot is

@@ -241,6 +241,33 @@ def test_index_stats(spark, index_dir):
     assert st["tokenizer"] == "lower-split-[^a-z0-9]+"
 
 
+def test_index_stats_serving_observability(spark, index_dir):
+    """Serving keys: no in-flight queries at rest; an in-flight query is
+    visible in active_queries/pool_saturation while it runs (observed
+    mid-query via a plan-side hook)."""
+    from refimage_spark.index import query as Q
+
+    st = Q.index_stats(index_dir)
+    s = st["serving"]
+    assert s["active_queries"] == 0
+    assert set(s) == {"active_queries", "pool_started", "pool_workers",
+                      "pool_saturation"}
+    seen: list[int] = []
+    orig = Q._query_plan
+
+    def spying_plan(*a, **kw):
+        seen.append(Q.index_stats(index_dir)["serving"]["active_queries"])
+        return orig(*a, **kw)
+
+    Q._query_plan = spying_plan
+    try:
+        Q.search_local(index_dir, "red car", k=5)
+    finally:
+        Q._query_plan = orig
+    assert seen and seen[0] == 1  # the query counted itself while running
+    assert Q.index_stats(index_dir)["serving"]["active_queries"] == 0
+
+
 def test_search_local_concurrent_clients(spark, index_dir):
     """Concurrency regression: many clients sharing the serving pool and
     the mtime-keyed caches must neither crash (the cache sweep used to

@@ -161,6 +161,34 @@ def _union_sum(ids_list: list[np.ndarray], sc_list: list[np.ndarray]):
     return uids, np.bincount(inv, weights=sc, minlength=uids.size)
 
 
+def _union_scores(
+    reader: SegmentReader,
+    ids_list: list[np.ndarray],
+    sc_list: list[np.ndarray],
+):
+    """Union-sum of per-clause (sorted unique ids, scores), using the
+    segment's dense doc-id range for direct accumulation when available
+    (no np.unique sort). Accumulation order per doc is clause order in
+    BOTH paths (bincount walks the concatenated weights sequentially;
+    the dense loop adds clause by clause), so float sums are
+    bit-identical to _union_sum — the oracle hash and the 1e-12
+    scorer-identity tests rely on that."""
+    if len(ids_list) == 1:
+        return ids_list[0], sc_list[0]  # already sorted + unique
+    dense, base = reader.dense_ids()
+    if not dense:
+        return _union_sum(ids_list, sc_list)
+    n = reader.norms()[0].size
+    acc = np.zeros(n, dtype=np.float64)
+    matched = np.zeros(n, dtype=bool)
+    for d, c in zip(ids_list, sc_list):
+        di = d - base  # ids unique within one clause -> fancy += is safe
+        acc[di] += c
+        matched[di] = True  # zero-score matches (weight 0, tag clauses)
+    nz = np.flatnonzero(matched)
+    return nz + base, acc[nz]
+
+
 def _term_contrib(
     reader: SegmentReader, entry: dict, idf: float, weight: float, avgdl: float
 ):
@@ -192,7 +220,7 @@ def eval_node(
             d, c = _term_contrib(reader, entry, idfs[t], node.weight, avgdl)
             ids_l.append(d)
             sc_l.append(c)
-        ids, sc = _union_sum(ids_l, sc_l)
+        ids, sc = _union_scores(reader, ids_l, sc_l)
         if threshold > 0.0:
             m = sc >= threshold
             ids, sc = ids[m], sc[m]
@@ -219,7 +247,9 @@ def eval_node(
         return ids, sc
     if isinstance(node, dsl.Or):
         parts = [eval_node(reader, c, idfs, avgdl, threshold) for c in node.children]
-        return _union_sum([p[0] for p in parts], [p[1] for p in parts])
+        return _union_scores(
+            reader, [p[0] for p in parts], [p[1] for p in parts]
+        )
     if isinstance(node, dsl.Not):
         bids, bsc = eval_node(reader, node.base, idfs, avgdl, threshold)
         eids, _ = eval_node(reader, node.exclude, idfs, avgdl, threshold)

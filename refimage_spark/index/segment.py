@@ -350,6 +350,7 @@ class SegmentReader:
         self._dict: dict[str, dict] | None = None
         self._tag_map: dict[str, np.ndarray] | None = None
         self._mm = None
+        self._dense: tuple[bool, int] | None = None  # (ids contiguous?, base)
 
     def _post_map(self):
         """mmap of the posting file, opened lazily and kept for the
@@ -478,8 +479,23 @@ class SegmentReader:
             }
         return self._tag_map.get(tag.lower(), np.empty(0, np.int64))
 
+    def dense_ids(self) -> tuple[bool, int]:
+        """(contiguous?, base): doc ids within a freshly built part are
+        ``offset + rank`` and therefore a dense range — direct indexing
+        replaces binary search in the serving kernel. Compaction (docs
+        dropped) or a merge of non-adjacent parts breaks contiguity, and
+        the searchsorted fallback takes over."""
+        if self._dense is None:
+            ids, _, _ = self.norms()
+            dense = ids.size > 0 and int(ids[-1]) - int(ids[0]) == ids.size - 1
+            self._dense = (dense, int(ids[0]) if ids.size else 0)
+        return self._dense
+
     def dl_for(self, doc_ids: np.ndarray) -> np.ndarray:
         ids, dls, _ = self.norms()
+        dense, base = self.dense_ids()
+        if dense:
+            return dls[doc_ids - base]
         pos = np.searchsorted(ids, doc_ids)
         return dls[pos]
 

@@ -234,6 +234,65 @@ def jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_sig_udf(n: int, num_hashes: int):
+    """Fused shingle + MinHash-signature pandas UDF: one Arrow-batched
+    pass computes both, with the universal-hash family as one numpy
+    (S, num_hashes) broadcast-min per doc. Replaces the per-hash
+    ``F.transform`` tree, whose higher-order functions run INTERPRETED
+    (~8us/element): at 16 hashes x ~100 shingles/doc that tree was the
+    dominant cost of the whole dedup (measured 22.5s -> see BASELINE.md).
+    Hashes are bit-identical to md5int32/the DuckDB oracle:
+    int(md5[:8 hex], 16) == big-endian int of the first 4 digest bytes."""
+    import hashlib
+
+    import numpy as np
+
+    a, b = _hash_constants(num_hashes)
+    A = np.array(a, dtype=np.int64)
+    B = np.array(b, dtype=np.int64)
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("shingles", T.ArrayType(T.StringType())),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def f(texts: pd.Series) -> pd.DataFrame:
+        sh_out, sig_out = [], []
+        for t in texts:
+            toks = py_tokens(t)
+            sh = list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + n])
+                    for i in range(max(len(toks) - (n - 1), 0))
+                )
+            )
+            sh_out.append(sh)
+            if sh:
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(s.encode()).digest()[:4], "big"
+                        )
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                # h*A < 2^62, +B < 2^63: no int64 overflow (same bound the
+                # Spark/DuckDB renderings rely on)
+                sig_out.append(
+                    ((hs[:, None] * A + B) % MINHASH_P61).min(axis=0).tolist()
+                )
+            else:
+                sig_out.append(None)
+        return pd.DataFrame({"shingles": sh_out, "sig": sig_out})
+
+    return f
+
+
 def minhash_neardup_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -244,20 +303,31 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard >= threshold.
 
-    The shingled table is referenced three times (signatures + both join
-    sides of the verify); localCheckpoint materializes it once instead of
-    recomputing — lineage is truncated and the blocks are GC'd with the
-    plan (unlike cache(), nothing leaks in the CacheManager).
+    Shingles AND signatures come from one fused Arrow pass
+    (``_shingle_sig_udf``); the result is referenced three times (band
+    explode + both join sides of the verify), so localCheckpoint
+    materializes it once — lineage is truncated and the blocks are GC'd
+    with the plan (unlike cache(), nothing leaks in the CacheManager).
 
     Set ``max_bucket_width`` at scale to drop black-hole band buckets."""
     # eager=True: a lazy checkpoint lets the ORIGINAL plan (and its
     # accumulators) be GC'd while straggler tasks still report, which
     # surfaces as a mid-run "non-existent accumulator" SparkException
-    sh = with_shingles(documents, n).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(
-        minhash_signatures(sh, num_hashes), num_hashes, bands, max_bucket_width
+    shsig = (
+        documents.select(
+            "doc_id", _shingle_sig_udf(n, num_hashes)(F.col("text")).alias("ss")
+        )
+        .select("doc_id", F.col("ss.shingles").alias("shingles"),
+                F.col("ss.sig").alias("sig"))
+        .localCheckpoint(eager=True)
     )
-    return jaccard(cand, sh).where(F.col("jaccard") >= threshold)
+    cand = lsh_candidate_pairs(
+        shsig.where(F.col("sig").isNotNull()).select("doc_id", "sig"),
+        num_hashes,
+        bands,
+        max_bucket_width,
+    )
+    return jaccard(cand, shsig).where(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

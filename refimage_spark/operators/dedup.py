@@ -380,10 +380,21 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    documents: DataFrame, max_hamming: int = 3
+    documents: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) with hamming <= max_hamming, via 15-bit
-    block LSH (pigeonhole) + bit_count(xor) verification."""
+    block LSH (pigeonhole) + bit_count(xor) verification.
+
+    ``max_bucket_width`` is the same black-hole bound the MinHash path
+    has: on a distributionally homogeneous corpus, one popular 15-bit
+    block value can hold 10^4+ docs and the block join degrades to
+    width^2 (measured: a 14.8k-wide bucket at 50k synthetic docs drove
+    656M joined rows). Blocks wider than W are dropped before the
+    self-join — docs that near-collide THAT broadly are boilerplate, not
+    near-dup pairs a pipeline keeps. None preserves exact pigeonhole
+    semantics (the oracle-checked form)."""
     fps = simhash_fingerprints(documents)
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
     mask = (1 << block_bits) - 1
@@ -404,6 +415,15 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "fp", "bk.blk", "bk.bval")
+    if max_bucket_width is not None:
+        widths = blocked.groupBy("blk", "bval").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        blocked = (
+            blocked.join(widths, ["blk", "bval"])
+            .where(F.col("_w") <= max_bucket_width)
+            .drop("_w")
+        )
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (

@@ -67,6 +67,23 @@ def test_lsh_bucket_width_bound(spark):
     assert [(r.doc_a, r.doc_b) for r in bounded] == [(1, 2)]
 
 
+def test_simhash_bucket_width_bound(spark):
+    """SimHash's block join gets the same black-hole bound as MinHash:
+    a boilerplate cluster whose fingerprints collide in every block is
+    dropped by the width bound, while a genuine narrow pair survives."""
+    rows = [(1, "a unique sentence about crimson automobiles and roads x"),
+            (2, "a unique sentence about crimson automobiles and roads x")]
+    rows += [(10 + i, "the same boilerplate footer text repeated everywhere")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unbounded = D.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    bounded = D.simhash_neardup_pairs(
+        docs, max_hamming=3, max_bucket_width=10
+    ).collect()
+    assert len(unbounded) == 1 + 20 * 19 // 2
+    assert [(r.doc_a, r.doc_b) for r in bounded] == [(1, 2)]
+
+
 def test_embedding_neardup_lsh_recall(spark):
     """Sign-LSH banded blocking must recover ~all cos>=0.9 pairs found by
     the exhaustive join (and by construction returns no false positives

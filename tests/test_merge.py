@@ -531,3 +531,52 @@ def test_maintenance_lifecycle_under_concurrent_search(spark, tmp_path):
         for t in threads:
             t.join()
     assert errors == [], f"concurrent search failed: {errors[:3]}"
+
+
+def test_maintenance_lock_takeover_after_sigkill(spark, small_index):
+    """Real crash, not a simulated lock file: a subprocess acquires the
+    lock and is SIGKILLed mid-hold. The same-host pid probe must judge
+    it dead and the next contender steals immediately (no lease wait)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from refimage_spark.index.merge import MAINT_LOCK, maintenance_lock
+
+    lock_path = os.path.join(small_index, MAINT_LOCK)
+    code = (
+        "import sys, time\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from refimage_spark.index.merge import maintenance_lock\n"
+        f"with maintenance_lock({small_index!r}):\n"
+        "    print('HELD', flush=True)\n"
+        "    time.sleep(60)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        assert proc.stdout.readline().strip() == "HELD"
+        owner = json.load(open(lock_path))
+        assert owner["pid"] == proc.pid
+        # lock is live: a contender must be refused
+        with pytest.raises(RuntimeError, match="maintenance already"):
+            with maintenance_lock(small_index):
+                pass
+        proc.kill()  # SIGKILL: no cleanup, no finally, lock file remains
+        proc.wait(10)
+        deadline = time.time() + 5
+        while os.path.exists(lock_path) is False and time.time() < deadline:
+            time.sleep(0.05)
+        assert os.path.exists(lock_path)  # crashed holder left it behind
+        t0 = time.time()
+        with maintenance_lock(small_index):  # dead pid -> immediate steal
+            assert json.load(open(lock_path))["pid"] == os.getpid()
+        assert time.time() - t0 < 5.0  # no lease expiry wait on same host
+        assert not os.path.exists(lock_path)
+    finally:
+        if proc.poll() is None:
+            proc.kill()

@@ -612,7 +612,12 @@ _ACTIVE_LOCK = threading.Lock()
 # ~2 ms/task of IPC (measured crossover: inline p50 0.17s at 256
 # segments vs 0.06s pooled at 512 — BENCH/BASELINE.md).
 _INLINE_MAX_SEGMENTS = 128
-_CHUNK_TARGET = 64  # warmup/lone-query task sizing (kernel-work per task)
+# replicate-mode lone-query chunk sizing: re-tuned after the round-5
+# kernel work (3.4x faster kernel moved the IPC-amortization point —
+# measured at 320 segments: chunk 64 -> p50 48ms, 32 -> 24ms,
+# 16 -> 16ms). Under load the cores/active budget caps chunk count, so
+# this only widens LONE-query fan-out.
+_CHUNK_TARGET = 16
 # affinity unit: segment pid p belongs to shard (p // _SHARD_BLOCK) % n.
 # Small enough that mid-size indexes spread across many shards (320
 # segments -> 20 active shards), large enough that one block is a

@@ -662,6 +662,23 @@ to 2.1s, oracle-hash-identical:
 | LSH build | 11.4s | 1.2s |
 | IVF build | 2.3s | 0.9s |
 
+## Maintenance at 10x scale (round 5 certification)
+
+The full maintenance cycle, run end-to-end on a 2M-doc / 1280-segment /
+692 MB index (scripts/maint_scale_probe.py; driver heap per the 2g/core
+rule):
+
+| op | wall | note |
+|---|---|---|
+| build (1280 parts) | 90s | 22k docs/s at this corpus |
+| delete 20k docs | 0.02s | tombstones are O(1) at any index size |
+| compact (drop 20k physically) | 34s | one rewrite task per segment, supersession commits |
+| size-tiered merge policy | 54s | 13 groups, 1280 -> 1112 segments, Spark fan-out |
+| deep fsck (sha256 every posting byte) | 7s | clean |
+
+Query rank-safety asserted across every step (tombstone masking at
+query time; compact and merge leave the surviving ranking identical).
+
 ## Serving at memory scale (round 5): replicate small, shard big
 
 A 2M-page / 1280-segment probe broke the round-4 serving design: with a

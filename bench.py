@@ -314,6 +314,20 @@ def main() -> None:
         sf1["dedup_simhash"] = timed(
             lambda: D.simhash_neardup_pairs(docs1, max_hamming=3).count()
         )
+        sf1["text_quality"] = timed(
+            lambda: TS.quality_score(docs1).agg(F.avg("quality")).collect()
+        )
+        sf1["lang_id"] = timed(
+            lambda: TS.lang_id(docs1).groupBy("pred_lang").count().collect()
+        )
+        # embedding_neardup_lsh is deliberately NOT benched here: the
+        # synthetic embeddings are 10 mega-clusters of 2k vectors, so
+        # every vector has thousands of bucket-colliding cluster-mates —
+        # a retrieval workload, not near-dup data (measured: 56-67s at
+        # ANY threshold, all spent cosine-verifying cluster pairs; real
+        # near-dup corpora have tight small clusters, the shape the
+        # operator's recall tests use). Benching it here would measure
+        # the data pathology, not the operator.
         qv1 = [float(x) for x in emb1.where("vec_id = 0").head()["embedding"]]
         sf1["ann_exact"] = timed(
             lambda: SIM.cosine_topk(emb1, qv1, k=10).collect()

@@ -126,11 +126,16 @@ def fsck_index(index_dir: str, deep: bool = True) -> dict:
         union = np.concatenate(all_ids)
         if np.unique(union).size != union.size:
             err("doc ids are not disjoint across segments (double-serve)")
-    if stats is not None and total_docs and not errors:
-        if total_docs != stats.get("n_docs"):
+    # the segments-vs-stats doc-count check runs UNCONDITIONALLY when
+    # stats parsed: an empty manifest against a stats.json claiming
+    # documents is the signature of a lost/partial restore and must fail
+    # (an earlier gate of `total_docs and not errors` certified total
+    # segment loss as ok and let any per-segment error mask this check)
+    if stats is not None and stats.get("n_docs") is not None:
+        if total_docs != stats["n_docs"]:
             err(
                 f"segments hold {total_docs} docs, stats.json says "
-                f"{stats.get('n_docs')}"
+                f"{stats['n_docs']}"
             )
     return {
         "ok": not errors,

@@ -78,22 +78,25 @@ def _lock_owner(path: str) -> dict | None:
 def _owner_alive(owner: dict | None, path: str, lease_sec: float) -> bool:
     """Liveness judged safely for SHARED STORAGE:
 
-    - same host: a pid existence probe is authoritative; PermissionError
-      means the pid exists under another uid — that is ALIVE, not stale;
-    - different host (or an unreadable owner record): pids don't travel
-      across machines, so only LEASE EXPIRY — the heartbeat mtime going
-      older than ``lease_sec`` — may declare the owner dead. A live
-      remote holder keeps touching the file, so it never expires."""
+    - same host + DEAD pid: authoritative — steal immediately, no lease
+      wait (the common crashed-holder case);
+    - everything else — same-host pid that exists (which may be an
+      UNRELATED process after pid recycling, e.g. post-reboot), a
+      foreign-uid pid, a remote host, an unreadable record — defers to
+      LEASE EXPIRY: a real holder's heartbeat keeps the mtime fresh; a
+      recycled pid does not, so the lease ages out and the lock is
+      stealable. (An earlier form returned 'alive' on any existing
+      same-host pid, which made a crashed holder's lock permanently
+      unstealable whenever its pid got recycled.)"""
     if owner is not None and owner.get("host") == socket.gethostname():
         pid = int(owner.get("pid", 0) or 0)
         if pid > 0:
             try:
                 os.kill(pid, 0)  # 0 = existence probe, no signal sent
-                return True
             except ProcessLookupError:
                 return False  # owner died mid-maintenance
             except PermissionError:
-                return True  # exists under another uid => alive
+                pass  # exists under another uid: lease decides below
     try:
         return (time.time() - os.path.getmtime(path)) < lease_sec
     except OSError:
@@ -121,8 +124,12 @@ def maintenance_lock(
       that window).
     - While held, a daemon heartbeat touches the lock every lease/3; the
       mtime IS the lease. A long compaction never looks stale.
-    - STALENESS: same-host owners are probed by pid (PermissionError =
-      alive); remote owners are stale only when the lease has expired.
+    - STALENESS: a same-host owner whose pid is DEAD is stolen
+      immediately; everything else (existing pid — possibly recycled —,
+      foreign uid, remote host) waits for lease expiry.
+    - RELEASE and heartbeat verify the lock still carries OUR owner
+      record first: a holder that lost its lease to a legitimate stealer
+      must not touch the stealer's lock.
     - STEAL renames the stale lock to a unique name FIRST — only one
       renamer wins (the losers get FileNotFoundError and re-race the
       link), so two contenders can never both "remove then create".
@@ -160,7 +167,6 @@ def maintenance_lock(
         os.fsync(f.fileno())
     deadline = time.monotonic() + timeout
     backoff = 0.05
-    acquired = False
 
     def attempt_once() -> bool:
         """One guarded judge/steal/link attempt. True = lock acquired;
@@ -204,7 +210,6 @@ def maintenance_lock(
                 fcntl.flock(guard, fcntl.LOCK_EX)
                 try:
                     if attempt_once():
-                        acquired = True
                         break
                 except RuntimeError:
                     if not (blocking and time.monotonic() < deadline):
@@ -218,10 +223,22 @@ def maintenance_lock(
             os.remove(tmp)  # the lock path keeps the inode alive
     stop = threading.Event()
 
+    def _still_mine() -> bool:
+        """Ownership = the lock file still carries OUR owner record
+        (host + pid + acquire timestamp — never collides). If our lease
+        expired (VM pause, NFS hang) and another contender legitimately
+        stole the lock, we must neither refresh nor remove THEIR lock —
+        heartbeat and release both check first. (An earlier form removed
+        unconditionally, which let a resumed stale holder delete the
+        stealer's live lock and re-open the two-writer race; an
+        inode-only check was defeated by filesystem inode recycling.)"""
+        return _lock_owner(path) == me
+
     def _heartbeat() -> None:
         while not stop.wait(lease_sec / 3.0):
-            with contextlib.suppress(OSError):
-                os.utime(path)
+            if _still_mine():
+                with contextlib.suppress(OSError):
+                    os.utime(path)
 
     beat = threading.Thread(
         target=_heartbeat, name="maint-lock-heartbeat", daemon=True
@@ -232,8 +249,9 @@ def maintenance_lock(
     finally:
         stop.set()
         beat.join(timeout=2.0)
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(path)
+        if _still_mine():
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(path)
 
 
 def delete_docs(index_dir: str, doc_ids: list[int]) -> None:

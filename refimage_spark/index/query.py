@@ -111,7 +111,10 @@ def _cached(kind: str, path: str, loader):
                     ]:
                         del _CACHE[k]
                         _READER_LRU.pop(k, None)
-            if kind == "reader":
+            if kind == "reader" and key in _CACHE:
+                # stamp ONLY keys actually cached: a stale-generation
+                # loader declined above must not leave a phantom LRU
+                # entry that inflates the count and evicts a live reader
                 _LRU_CLOCK[0] += 1
                 _READER_LRU[key] = _LRU_CLOCK[0]
                 while len(_READER_LRU) > _READER_CACHE_CAP:
@@ -637,7 +640,6 @@ _SHARD_BLOCK = 16
 _REPLICATE_MAX_BYTES = int(
     os.environ.get("REFIMAGE_REPLICATE_MAX_BYTES", str(256 << 20))
 )
-_RR_COUNTER = [0]  # round-robin worker pick for replicate-mode tasks
 _SERVE_POOL = None  # shared free-scheduling pool (replicate mode)
 
 
@@ -1045,9 +1047,14 @@ def search_index(
         mode = "local" if len(pids) <= 2048 else "spark"
 
     if mode == "local":
+        # an EXPLICIT use_wand=True opt-in passes through to the serving
+        # path; use_wand=None stays vectorized there (search_local's
+        # measured default) even though the spark path defaults to WAND
+        # for pure text
         rows = search_local(
             index_dir, query, k, threshold,
             workers=spark.sparkContext.defaultParallelism,
+            use_wand=bool(use_wand) and is_pure_text,
         )
         return spark.createDataFrame(rows, RESULT_SCHEMA)
 

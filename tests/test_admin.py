@@ -75,3 +75,16 @@ def test_fsck_catches_corruption(spark, tmp_path):
     json.dump(st, open(sp, "w"))
     out = fsck_index(d)
     assert not out["ok"] and any("stats.json says" in e for e in out["errors"])
+
+
+def test_fsck_fails_on_lost_manifest(spark, tmp_path):
+    """Total segment loss (empty manifest, stats.json still claiming
+    docs) must FAIL fsck — the signature of a partial restore
+    (regression: it certified ok=True with 0 segments)."""
+    import shutil
+
+    d = _build(spark, tmp_path)
+    shutil.rmtree(os.path.join(d, "manifest"))
+    out = fsck_index(d)
+    assert not out["ok"]
+    assert any("stats.json says" in e for e in out["errors"])

@@ -338,3 +338,24 @@ def test_replicate_and_shard_modes_identical(spark, index_dir, monkeypatch):
     monkeypatch.setattr(Q, "_REPLICATE_MAX_BYTES", 0)  # force shard
     Q.warm_serving_pool(index_dir)
     assert {q: Q.search_local(index_dir, q, k=10) for q in queries} == inline
+
+
+def test_search_index_local_mode_passes_wand_through(spark, index_dir,
+                                                     monkeypatch):
+    """An explicit use_wand=True must reach the serving path in local
+    mode (regression: the flag was silently dropped); use_wand=None
+    keeps the serving path's measured vectorized default."""
+    from refimage_spark.index import query as Q
+
+    seen = []
+    orig = Q.search_local
+
+    def spy(*a, **kw):
+        seen.append(kw.get("use_wand", False))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(Q, "search_local", spy)
+    Q.search_index(spark, index_dir, "red car", k=5, mode="local",
+                   use_wand=True).collect()
+    Q.search_index(spark, index_dir, "red car", k=5, mode="local").collect()
+    assert seen == [True, False]

@@ -580,3 +580,56 @@ def test_maintenance_lock_takeover_after_sigkill(spark, small_index):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_lock_pid_recycling_steal_by_lease(spark, small_index):
+    """A crashed holder whose pid was RECYCLED by an unrelated process
+    must still lose the lock once the lease expires (regression: any
+    existing same-host pid was treated as alive forever)."""
+    import json
+    import os
+    import socket
+    import time
+
+    from refimage_spark.index.merge import MAINT_LOCK, maintenance_lock
+
+    lock_path = os.path.join(small_index, MAINT_LOCK)
+    # pid 1 always exists and is never ours: the recycled-pid shape
+    with open(lock_path, "w") as f:
+        json.dump({"host": socket.gethostname(), "pid": 1}, f)
+    # fresh lease -> still respected (can't distinguish from a live holder)
+    with pytest.raises(RuntimeError, match="maintenance already"):
+        with maintenance_lock(small_index, lease_sec=30.0):
+            pass
+    # expired lease -> stolen despite the existing pid
+    old = time.time() - 120.0
+    os.utime(lock_path, (old, old))
+    with maintenance_lock(small_index, lease_sec=30.0):
+        assert json.load(open(lock_path))["pid"] == os.getpid()
+
+
+def test_lock_release_never_touches_stolen_lock(spark, small_index):
+    """A holder that lost its lock to a legitimate stealer (lease expiry
+    during a stall) must neither remove nor heartbeat the stealer's
+    lock on exit (regression: release removed unconditionally)."""
+    import json
+    import os
+    import time
+
+    from refimage_spark.index.merge import MAINT_LOCK, maintenance_lock
+
+    lock_path = os.path.join(small_index, MAINT_LOCK)
+    with maintenance_lock(small_index, lease_sec=0.6):
+        # simulate the steal: our inode renamed away, stealer's lock in
+        os.remove(lock_path)
+        with open(lock_path, "w") as f:
+            json.dump({"host": "stealer-host", "pid": 77}, f)
+        stamp = time.time() - 50.0
+        os.utime(lock_path, (stamp, stamp))
+        time.sleep(0.5)  # two+ heartbeat periods pass
+        # our heartbeat must NOT have refreshed the stealer's lease
+        assert abs(os.path.getmtime(lock_path) - stamp) < 1.0
+    # and our release must NOT have removed the stealer's lock
+    assert os.path.exists(lock_path)
+    assert json.load(open(lock_path))["host"] == "stealer-host"
+    os.remove(lock_path)

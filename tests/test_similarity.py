@@ -124,3 +124,23 @@ def test_ann_recall_gate(spark, ann_dir):
     assert set(rows) == {"lsh", "ivf"}
     assert rows["ivf"] >= 0.5, rows
     assert rows["lsh"] >= 0.1, rows  # near-uniform vectors: LSH's worst regime
+
+
+def test_lsh_bucket_tolerates_null_and_ragged_rows(spark):
+    """One bad embedding row (null or wrong dimension) must not fail the
+    whole bucket computation — it buckets to 0, matching the replaced
+    JVM expression's null-falls-to-zero behavior."""
+    import numpy as np
+
+    from refimage_spark.operators.similarity import with_lsh_bucket
+
+    rng = np.random.Generator(np.random.Philox(key=[5, 0]))
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(6)]
+    rows.append((6, None))
+    rows.append((7, [1.0, 2.0]))  # wrong dimension
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.bucket for r in
+           with_lsh_bucket(emb, dim=16, n_planes=4).collect()}
+    assert len(got) == 8
+    assert got[6] == 0 and got[7] == 0
+    assert any(got[i] != 0 for i in range(6))  # real rows still bucket

@@ -172,6 +172,11 @@ def maintenance_lock(
         """One guarded judge/steal/link attempt. True = lock acquired;
         False = retry; raises on live contention (non-blocking mode
         decides what to do with it above)."""
+        # freshen the owner file's mtime BEFORE linking: link() shares
+        # the tmp inode, so after a long blocking wait the new lock
+        # would otherwise be born with an already-expired lease and be
+        # instantly stealable until the first heartbeat (review finding)
+        os.utime(tmp)
         try:
             os.link(tmp, path)  # atomic acquire, owner info in place
             return True
@@ -204,8 +209,9 @@ def maintenance_lock(
             os.remove(stale)
         return False
 
+    guard = open(guard_path, "a")  # held open for the lock's lifetime
     try:
-        with open(guard_path, "a") as guard:
+        try:
             while True:
                 fcntl.flock(guard, fcntl.LOCK_EX)
                 try:
@@ -218,9 +224,12 @@ def maintenance_lock(
                     fcntl.flock(guard, fcntl.LOCK_UN)
                 time.sleep(backoff)
                 backoff = min(backoff * 2, 2.0)
-    finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(tmp)  # the lock path keeps the inode alive
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(tmp)  # the lock path keeps the inode alive
+    except BaseException:
+        guard.close()
+        raise
     stop = threading.Event()
 
     def _still_mine() -> bool:
@@ -235,10 +244,19 @@ def maintenance_lock(
         return _lock_owner(path) == me
 
     def _heartbeat() -> None:
+        # the check+touch runs under the same flock GUARD the judge/steal
+        # attempts take, so it can never interleave with a same-host
+        # contender's rename of our (stale-judged) lock. Same-OFD flock
+        # from our own threads is reentrant-by-sharing — benign, since
+        # our threads only ever touch OUR OWN lock.
         while not stop.wait(lease_sec / 3.0):
-            if _still_mine():
-                with contextlib.suppress(OSError):
-                    os.utime(path)
+            fcntl.flock(guard, fcntl.LOCK_EX)
+            try:
+                if _still_mine():
+                    with contextlib.suppress(OSError):
+                        os.utime(path)
+            finally:
+                fcntl.flock(guard, fcntl.LOCK_UN)
 
     beat = threading.Thread(
         target=_heartbeat, name="maint-lock-heartbeat", daemon=True
@@ -249,9 +267,26 @@ def maintenance_lock(
     finally:
         stop.set()
         beat.join(timeout=2.0)
-        if _still_mine():
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(path)
+        fcntl.flock(guard, fcntl.LOCK_EX)
+        try:
+            owner = _lock_owner(path)
+            if owner is None and os.path.exists(path):
+                # transient read failure (NFS hiccup) must not strand our
+                # own lock until lease expiry — retry before deciding
+                for _ in range(3):
+                    time.sleep(0.02)
+                    owner = _lock_owner(path)
+                    if owner is not None:
+                        break
+            if owner == me or (owner is None and os.path.exists(path)):
+                # ours, or unreadable-after-retries: a stealer's lock is
+                # always complete (linked with content in place), so an
+                # unreadable file is a corrupt leftover — remove either way
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(path)
+        finally:
+            fcntl.flock(guard, fcntl.LOCK_UN)
+            guard.close()
 
 
 def delete_docs(index_dir: str, doc_ids: list[int]) -> None:

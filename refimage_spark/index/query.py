@@ -69,6 +69,10 @@ _CACHE_LOCK = threading.Lock()
 _READER_CACHE_CAP = int(os.environ.get("REFIMAGE_READER_CACHE_CAP", "1024"))
 _READER_LRU: dict = {}  # key -> monotonically increasing access stamp
 _LRU_CLOCK = [0]
+_CACHE_MISS = object()  # sentinel: a loader may legitimately return None
+# (global_df's too-big-to-pin vocabulary) and that None must be CACHED —
+# treating it as a miss re-read the multi-million-row term_stats parquet
+# on every query (review finding)
 
 
 def _mtime(path: str) -> float:
@@ -84,15 +88,15 @@ def _cached(kind: str, path: str, loader):
     may race the same load — the first insert wins and both use it."""
     key = (kind, path, _mtime(path))
     with _CACHE_LOCK:
-        hit = _CACHE.get(key)
-        if hit is not None and kind == "reader":
+        hit = _CACHE.get(key, _CACHE_MISS)
+        if hit is not _CACHE_MISS and kind == "reader":
             _LRU_CLOCK[0] += 1
             _READER_LRU[key] = _LRU_CLOCK[0]
-    if hit is None:
+    if hit is _CACHE_MISS:
         hit = loader()
         with _CACHE_LOCK:
-            existing = _CACHE.get(key)
-            if existing is not None:
+            existing = _CACHE.get(key, _CACHE_MISS)
+            if existing is not _CACHE_MISS:
                 hit = existing
             else:
                 # a slow loader for an OLD generation must not insert

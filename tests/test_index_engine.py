@@ -359,3 +359,23 @@ def test_search_index_local_mode_passes_wand_through(spark, index_dir,
                    use_wand=True).collect()
     Q.search_index(spark, index_dir, "red car", k=5, mode="local").collect()
     assert seen == [True, False]
+
+
+def test_cached_none_is_a_hit(spark, tmp_path):
+    """A loader that legitimately returns None (global_df's
+    too-big-to-pin vocabulary) must be cached as None, not re-loaded on
+    every call (regression: the full term_stats parquet was re-read per
+    query)."""
+    from refimage_spark.index import query as Q
+
+    p = str(tmp_path / "probe")
+    open(p, "w").write("x")
+    calls = []
+
+    def loader():
+        calls.append(1)
+        return None
+
+    assert Q._cached("none-probe", p, loader) is None
+    assert Q._cached("none-probe", p, loader) is None
+    assert len(calls) == 1

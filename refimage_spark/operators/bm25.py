@@ -45,7 +45,12 @@ class Corpus:
     @staticmethod
     def from_documents(documents: DataFrame) -> "Corpus":
         """From the driver testdata `documents` table
-        (doc_id, text, lang, source, n_chars); tags := {lang, source}."""
+        (doc_id, text, lang, source, n_chars); tags := {lang, source}.
+
+        Deliberately NOT spread_small_scan'd: measured at sf0.1, the
+        round-robin exchange + 32-task scheduling cost MORE than the
+        single-partition explode saves (0.36s vs 0.43s for bm25_topk);
+        real corpora scan as many partitions natively."""
         toks = spark_tokens("text")
         return Corpus(
             documents.select(
@@ -100,11 +105,27 @@ def corpus_stats(corpus: Corpus) -> DataFrame:
 
 
 def term_df(corpus: Corpus, terms: list[str] | None = None) -> DataFrame:
-    """(term, df) — df counts DISTINCT docs. Dedup via array_distinct
-    BEFORE the explode: map-side, no extra shuffle vs explode+distinct."""
-    ex = corpus.docs.select(F.explode(F.array_distinct("tokens")).alias("term"))
+    """(term, df) — df counts DISTINCT docs.
+
+    With a term list, dedup-and-filter happens in ONE native expression
+    BEFORE the explode: array_intersect(tokens, terms) yields the
+    distinct tokens that are query terms, so Generate emits <=|terms|
+    rows per doc instead of every distinct token (the previous
+    explode(array_distinct)->filter shape exploded ~100 rows/doc to
+    keep ~1). Without a list, array_distinct before the explode is
+    still map-side dedup (no extra shuffle vs explode+distinct)."""
     if terms is not None:
-        ex = ex.where(F.col("term").isin(terms))
+        ex = corpus.docs.select(
+            F.explode(
+                F.array_intersect(
+                    "tokens", F.array(*[F.lit(t) for t in terms])
+                )
+            ).alias("term")
+        )
+    else:
+        ex = corpus.docs.select(
+            F.explode(F.array_distinct("tokens")).alias("term")
+        )
     return ex.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
@@ -135,10 +156,21 @@ def bm25_scores(
     tf = ex.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
-    dfs = term_df(corpus, terms)
+    # df is DERIVED FROM tf: the tf table has exactly one row per
+    # (doc, term-present-in-doc), so count-over-window partitionBy(term)
+    # IS count(DISTINCT doc) per term — bit-identical to the separate
+    # term_df subquery, but it removes one full corpus scan (the
+    # explode(array_distinct) subtree) and one broadcast-build job per
+    # text leaf (guide §2.4: remove shuffles/passes outright). The
+    # window exchange moves only the tiny tf rows.
+    from pyspark.sql import Window
+
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     stats = corpus_stats(corpus)
     scored = (
-        tf.join(F.broadcast(dfs), "term")
+        with_df
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

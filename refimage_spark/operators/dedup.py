@@ -29,6 +29,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +61,13 @@ def md5int32(c: Column) -> Column:
 def md5int32_sql(expr: str) -> str:
     return f"cast(concat('0x', substr(md5({expr}), 1, 8)) as bigint)"
 
+
+# Jaccard-verify broadcast bound: while the shingled table's exact plan
+# stats fit this, the verify join broadcasts it (arrays never shuffle);
+# beyond, the sort-merge path takes over (env-overridable per cluster)
+_VERIFY_BROADCAST_BYTES = int(
+    os.environ.get("REFIMAGE_VERIFY_BROADCAST_BYTES", str(256 << 20))
+)
 
 # Universal-hash family h_i(x) = (md5int32(x)*A_i + B_i) mod P61: ONE md5
 # per shingle instead of NUM_HASHES of them (~16x less hashing work).
@@ -215,17 +224,54 @@ def lsh_candidate_pairs(
 
 
 def jaccard(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Attach exact shingle-Jaccard to (doc_a, doc_b) pairs."""
+    """Attach exact shingle-Jaccard to (doc_a, doc_b) pairs.
+
+    The pairs side is explicitly repartitioned to the session's shuffle
+    width first: the candidate set arrives from a distinct() whose
+    output AQE coalesces BY SIZE to a handful of partitions (617k pairs
+    ~ 10 MB -> 5 partitions at sf1), but the per-pair array_intersect
+    is CPU-bound — ~15us x 2 per pair — so the verify stage ran on 5 of
+    32 cores (measured 9.5s of a 10.3s minhash run). An explicit
+    repartition is not coalesced by AQE; the extra exchange moves only
+    skinny (doc_a, doc_b) rows. Guide §2.5: partition for the WORK, not
+    the bytes, when a stage is compute-bound.
+
+    The shingle side is BROADCAST while its (exact, post-checkpoint)
+    plan statistics fit _VERIFY_BROADCAST_BYTES: a sort-merge verify
+    re-exchanges the pairs on doc_a then doc_b — the second exchange
+    ships every pair's sh_a array (~2 KB/row), AQE re-coalesces the
+    join stages under the pinned width, and at sf1 that left the
+    intersect work on 5 cores regardless of the repartition. With the
+    broadcast the arrays never shuffle and the intersects run at the
+    pinned width. Beyond the bound (corpus-scale shingle tables) the
+    sort-merge path takes over unchanged — the same replicate-vs-shard
+    size switch the serving tier makes."""
+    n = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sa = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
     sb = shingled.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
+    try:
+        stat_bytes = int(
+            shingled._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable: stay on the general path
+        stat_bytes = 1 << 62
+    if stat_bytes <= _VERIFY_BROADCAST_BYTES:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # repartition on doc_a ALONE, with an explicit partition count: a
+    # repartition on (doc_a, doc_b) is optimizer-removed as redundant
+    # (the upstream distinct already hash-partitions on exactly those
+    # keys) and the surviving ENSURE_REQUIREMENTS exchange is then
+    # AQE-coalesced by size — the single-key explicitly-numbered form
+    # survives both, pinning the verify stage at full width
     return (
-        pairs.join(sa, "doc_a")
+        pairs.repartition(n, "doc_a")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",

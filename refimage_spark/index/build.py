@@ -517,10 +517,19 @@ def _write_segments_for(
     idx_dir = index_dir
 
     def write_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        done_local = committed_pids(idx_dir)
+        # re-check THIS pid's commit row only (a retried/speculative task
+        # racing another attempt is harmless — segment writes are
+        # idempotent). The previous full committed_pids() scan re-read
+        # the whole manifest dir in EVERY task: O(P^2) file opens per
+        # build — ~100ms of aggregate listing at P=320, unusable at the
+        # 100-TB-scale P of 10^5+.
+        from refimage_spark.index.segment import manifest_dir
+
         for rb in batches:
             for pid in rb.column("pid").to_pylist():
-                if pid in done_local:
+                if os.path.exists(
+                    os.path.join(manifest_dir(idx_dir), f"part-{pid:05d}.json")
+                ):
                     continue
                 p, nd, npost = build_segment_from_part(idx_dir, int(pid), avgdl)
                 yield pa.record_batch(
@@ -532,8 +541,13 @@ def _write_segments_for(
                     names=["pid", "n_docs", "n_postings"],
                 )
 
+    # a few pids per task, not one: per-task Spark overhead is ~5ms and
+    # segment builds are ~50ms, so one-task-per-pid spent ~25% of pass B
+    # on scheduling at P=320. 4 waves per core keeps the tail short
+    # (segments are near-equal by the hash partitioner).
+    n_tasks = min(len(pending), max(spark.sparkContext.defaultParallelism * 4, 1))
     pid_df = spark.createDataFrame([(p,) for p in pending], "pid int").repartition(
-        len(pending)
+        n_tasks
     )
     seg_stats = pid_df.mapInArrow(
         write_parts, schema="pid int, n_docs long, n_postings long"

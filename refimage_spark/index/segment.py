@@ -260,23 +260,32 @@ class SegmentWriter:
         blk_off = base_blk + np.concatenate(
             ([0], np.cumsum(blk_bytes_per_term)[:-1])
         )
+        # assemble the per-term interleaved block-meta region with FIVE
+        # vectorized byte scatters (one per field) instead of a Python
+        # loop over terms — the loop's 5 frombuffer/tobytes round-trips
+        # per term cost ~60ms per 7.5k-term segment and dominated pass B
+        # (round-6 profile: 37.5k calls per 10 segments). Byte-identical
+        # output: field f of term t starts at term_base(t) + nb(t) *
+        # width_prefix(f), block i of the field at +i*w.
         blk_region = np.empty(int(blk_bytes_per_term.sum()), dtype=np.uint8)
-        bstart = np.concatenate(([0], np.cumsum(nblk)[:-1]))
-        pos = 0
-        for t in range(n_terms):  # O(1) byte-blit per term
-            nb = int(nblk[t])
-            s = int(bstart[t])
-            for arr, w in (
-                (blk_last, 8),
-                (blk_maxtf, 4),
-                (blk_mindl, 4),
-                (blk_dboff, 4),
-                (blk_tboff, 4),
-            ):
-                blk_region[pos : pos + nb * w] = np.frombuffer(
-                    arr[s : s + nb].tobytes(), dtype=np.uint8
-                )
-                pos += nb * w
+        term_base = np.concatenate(([0], np.cumsum(blk_bytes_per_term)[:-1]))
+        for arr, w, prefix in (
+            (blk_last, 8, 0),
+            (blk_maxtf, 4, 8),
+            (blk_mindl, 4, 12),
+            (blk_dboff, 4, 16),
+            (blk_tboff, 4, 20),
+        ):
+            start = (
+                term_base[blk_term]
+                + nblk[blk_term] * prefix
+                + np.asarray(blk_idx) * w
+            )
+            src = np.frombuffer(
+                np.ascontiguousarray(arr).tobytes(), dtype=np.uint8
+            ).reshape(-1, w)
+            idx = start[:, None] + np.arange(w, dtype=np.int64)[None, :]
+            blk_region[idx.ravel()] = src.ravel()
         blob = b"".join(
             [docs_region.tobytes(), tfs_region.tobytes(), blk_region.tobytes()]
         )

@@ -192,6 +192,83 @@ def main() -> None:
             spark, "ann_ivf", lambda: SIM.ivf_topk(spark, ann_dir, qv, k=10)
         )
 
+    # --- WAND in the regime it wins (VERDICT r5 #4) --------------------------
+    # The headline corpus is flat-score by construction (uniform tf/dl),
+    # where rank-safe WAND cannot skip blocks at k=10 — bench.py records
+    # that honestly (wand_block_skip_pct 0.0). This section measures the
+    # idf-skewed regime the pytest pins (test_wand_skips_block_decode),
+    # at serving size: a 2.56M-posting head term plus a rare high-idf
+    # term. Published so the block-max machinery's benefit is a number,
+    # not only a test.
+    if not only or "wand_skew" in only:
+        import numpy as np
+        import pyarrow as pa
+
+        from refimage_spark import dsl as _dsl
+        from refimage_spark.index.query import (
+            eval_node,
+            topk_arrays,
+            wand_topk_segment,
+        )
+        from refimage_spark.index.segment import SegmentReader, SegmentWriter
+
+        d = tempfile.mkdtemp(prefix="r06_wand_")
+        n_docs = 2_560_000
+        w = SegmentWriter(d, 0, 10.0)
+        ids = np.arange(n_docs, dtype=np.int64)
+        empty_tags = pa.ListArray.from_arrays(
+            np.zeros(n_docs + 1, dtype=np.int32), pa.array([], pa.string())
+        )
+        w.set_norms(ids, np.full(n_docs, 10, np.int64), empty_tags)
+        w.add_raw(
+            pa.array(["aterm"] * n_docs, pa.string()),
+            ids,
+            np.ones(n_docs, np.int64),
+        )
+        # >= k rare-term docs EARLY (the heap must fill with rare-term
+        # scores before pruning can engage — with fewer than k of them
+        # the kth score ties the head term's flat bound and rank-safe
+        # WAND may not skip anything), then a few scattered later to
+        # exercise long seeks
+        rare_docs = np.unique(
+            np.concatenate(
+                [
+                    np.arange(20, dtype=np.int64) * 64,
+                    np.array(
+                        [n_docs // 4, n_docs // 2, 3 * n_docs // 4, n_docs - 1],
+                        np.int64,
+                    ),
+                ]
+            )
+        )
+        w.add_raw(
+            pa.array(["zrare"] * rare_docs.size, pa.string()),
+            rare_docs,
+            np.full(rare_docs.size, 8, np.int64),
+        )
+        w.finish()
+        r = SegmentReader(d, 0)
+        idfs = {"aterm": 0.05, "zrare": 8.0}
+        ctr: dict = {}
+        t0 = time.perf_counter()
+        wids, wsc = wand_topk_segment(
+            r, ["aterm", "zrare"], idfs, 10.0, 10, counters=ctr
+        )
+        out["wand_skew_wand_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        vids, vsc = eval_node(
+            r, _dsl.TextQuery("aterm zrare", 1.0), idfs, 10.0, 0.0
+        )
+        vids, vsc = topk_arrays(vids, vsc, 10)
+        out["wand_skew_vec_sec"] = round(time.perf_counter() - t0, 4)
+        assert wids.tolist() == vids.tolist(), "WAND rank safety violated"
+        out["wand_skew_skip_pct"] = round(
+            100.0 * (1 - ctr["decoded_blocks"] / max(ctr["total_blocks"], 1)),
+            1,
+        )
+        out["wand_skew_decoded_blocks"] = ctr["decoded_blocks"]
+        out["wand_skew_total_blocks"] = ctr["total_blocks"]
+
     # --- segment index build (laps + pass split from build_metrics) ---
     if not only or "index_build" in only:
         from refimage_spark.index.build import build_index

@@ -739,6 +739,27 @@ class _ShardDispatcher:
         self.pending: list = []  # [(args, Future)]
         self.inflight = False
 
+    def heal_if_broken(self) -> None:
+        """Replace a broken single-worker executor (its process was
+        OOM-killed / SIGKILLed) with a fresh one so the shard serves
+        again — the per-replica restart a real serving tier performs.
+        The replacement worker reloads its owned readers lazily on the
+        first query (bounded: one shard's slice). Thread-safe; idempotent
+        when racing healers (only the thread seeing the broken executor
+        swaps it)."""
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        with self.lock:
+            broken = getattr(self.ex, "_broken", False)
+            if not broken:
+                return
+            old = self.ex
+            ctx = multiprocessing.get_context("forkserver")
+            self.ex = ProcessPoolExecutor(max_workers=1, mp_context=ctx)
+            self.inflight = False
+        old.shutdown(wait=False)
+
     def submit(self, *args):
         from concurrent.futures import Future
 
@@ -828,6 +849,24 @@ def _merge_parts(parts, k: int):
     )
     sc = np.concatenate([p[1] for p in parts]) if parts else np.empty(0)
     return topk_arrays(ids, sc, k)
+
+
+def _heal_pools() -> None:
+    """Recover broken serving executors (a worker process killed by the
+    OS mid-query). Replicate mode: drop the shared pool so the next
+    query lazily rebuilds it; shard mode: swap only the dead shard's
+    executor. Called from search_local's retry loop on BrokenExecutor —
+    in-flight queries on the dead worker fail over via that retry, so a
+    worker kill costs one retry + one worker cold start, never a wrong
+    or silently-empty result."""
+    global _SERVE_POOL
+    with _SERVE_POOL_LOCK:
+        if _SERVE_POOL is not None and getattr(_SERVE_POOL, "_broken", False):
+            _SERVE_POOL.shutdown(wait=False)
+            _SERVE_POOL = None
+    if _SERVE_SHARDS is not None:
+        for sh in _SERVE_SHARDS:
+            sh.heal_if_broken()
 
 
 def warm_serving_pool(index_dir: str | None = None) -> None:
@@ -1003,11 +1042,23 @@ def search_local(
         ]
         return _merge_parts([f.result() for f in futs], k)
 
+    from concurrent.futures import BrokenExecutor
+
     try:
         for retry in range(3):
             try:
                 ids, sc = attempt()
                 break
+            except BrokenExecutor:
+                # SELF-HEAL after a worker-process death (OOM-kill,
+                # SIGKILL): replace the broken executor(s) and retry —
+                # the query re-runs against a fresh worker whose caches
+                # reload lazily. Bounded: one retry per attempt, and
+                # only the dead worker's state is rebuilt.
+                import time
+
+                _heal_pools()
+                time.sleep(0.02 * (retry + 1))
             except (OSError, KeyError, IndexError, ValueError):
                 # SELF-HEAL across a maintenance flip: compact/merge
                 # commit new segment generations per-pid (supersession

@@ -633,3 +633,40 @@ def test_lock_release_never_touches_stolen_lock(spark, small_index):
     assert os.path.exists(lock_path)
     assert json.load(open(lock_path))["host"] == "stealer-host"
     os.remove(lock_path)
+
+
+def test_lock_fairness_no_starvation(small_index):
+    """VERDICT r5 #7: N blocking waiters on one lock with a CHURNING
+    holder (acquire/release loop) — every waiter must eventually
+    acquire; the backoff loop must not deadlock or permanently starve
+    any contender."""
+    import threading
+    import time as _time
+
+    from refimage_spark.index.merge import maintenance_lock
+
+    acquired = []
+    lock_kw = dict(lease_sec=10.0, blocking=True, timeout=90.0)
+
+    def churner(rounds=12):
+        for _ in range(rounds):
+            with maintenance_lock(small_index, **lock_kw):
+                _time.sleep(0.02)
+            _time.sleep(0.005)
+
+    def waiter(i):
+        with maintenance_lock(small_index, **lock_kw):
+            acquired.append(i)
+            _time.sleep(0.02)
+
+    ch = threading.Thread(target=churner)
+    ws = [threading.Thread(target=waiter, args=(i,)) for i in range(4)]
+    ch.start()
+    _time.sleep(0.03)  # churner holds the lock when waiters arrive
+    for w in ws:
+        w.start()
+    ch.join(timeout=120)
+    for w in ws:
+        w.join(timeout=120)
+        assert not w.is_alive(), "a lock waiter never acquired (starved)"
+    assert sorted(acquired) == [0, 1, 2, 3]

@@ -649,9 +649,23 @@ def embedding_neardup_lsh(
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    # same verify-stage treatment as jaccard(): the per-pair cosine is
+    # an interpreted HOF (~CPU-bound), so pin the stage width against
+    # AQE size-coalescing and broadcast the vector side while its stats
+    # fit — beyond the bound the sort-merge path takes over
+    n = int(cand.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        stat_bytes = int(
+            e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        stat_bytes = 1 << 62
+    if stat_bytes <= _VERIFY_BROADCAST_BYTES:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
     cos = cosine(F.col("emb_a"), F.col("emb_b"))
     return (
-        cand.join(ea, "vec_a")
+        cand.repartition(n, "vec_a")
+        .join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)

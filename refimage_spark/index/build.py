@@ -86,7 +86,9 @@ def _corpus_totals(slim: DataFrame) -> tuple[int, float]:
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
     ).collect()[0]
     n = int(row["n"] or 0)
-    return n, (float(row["dl_sum"]) / n if n else 0.0)
+    # exact-int division (not float(sum)/n): identical to the previous
+    # per-part-sums form at any magnitude, incl. dl totals beyond 2^53
+    return n, (int(row["dl_sum"]) / n if n else 0.0)
 
 
 def _offsets_df(with_part: DataFrame) -> DataFrame:

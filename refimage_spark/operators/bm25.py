@@ -134,7 +134,10 @@ def _idf(df_col: Column, n_col: Column) -> Column:
 
 
 def bm25_scores(
-    corpus: Corpus, query: str | list[str], weight: float = 1.0
+    corpus: Corpus,
+    query: str | list[str],
+    weight: float = 1.0,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score) for every doc matching >=1 query term.
 
@@ -168,7 +171,11 @@ def bm25_scores(
     with_df = tf.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    stats = corpus_stats(corpus)
+    # callers with several text leaves pass ONE shared stats DataFrame:
+    # identical broadcast subtrees are then deduplicated by Spark's
+    # exchange reuse instead of aggregating the corpus once per leaf
+    if stats is None:
+        stats = corpus_stats(corpus)
     scored = (
         with_df
         .crossJoin(F.broadcast(stats))

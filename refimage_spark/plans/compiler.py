@@ -43,16 +43,18 @@ def _tag_filter(corpus: Corpus, node: dsl.TagFilter) -> DataFrame:
     return corpus.docs.where(pred).select("doc_id", F.lit(0.0).alias("score"))
 
 
-def compile_node(node: dsl.Node, corpus: Corpus, threshold: float) -> DataFrame:
+def compile_node(
+    node: dsl.Node, corpus: Corpus, threshold: float, stats: DataFrame | None = None
+) -> DataFrame:
     if isinstance(node, dsl.TextQuery):
-        scored = bm25_scores(corpus, node.text, node.weight)
+        scored = bm25_scores(corpus, node.text, node.weight, stats=stats)
         if threshold > 0.0:
             scored = scored.where(F.col("score") >= F.lit(threshold))
         return scored
     if isinstance(node, dsl.TagFilter):
         return _tag_filter(corpus, node)
     if isinstance(node, dsl.And):
-        kids = [compile_node(c, corpus, threshold) for c in node.children]
+        kids = [compile_node(c, corpus, threshold, stats) for c in node.children]
         acc = kids[0].select("doc_id", F.col("score").alias("s0"))
         for i, k in enumerate(kids[1:], start=1):
             acc = acc.join(
@@ -61,15 +63,15 @@ def compile_node(node: dsl.Node, corpus: Corpus, threshold: float) -> DataFrame:
         total = reduce(lambda a, b: a + b, [F.col(f"s{i}") for i in range(len(kids))])
         return acc.select("doc_id", total.alias("score"))
     if isinstance(node, dsl.Or):
-        kids = [compile_node(c, corpus, threshold) for c in node.children]
+        kids = [compile_node(c, corpus, threshold, stats) for c in node.children]
         return (
             reduce(DataFrame.unionByName, kids)
             .groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
         )
     if isinstance(node, dsl.Not):
-        base = compile_node(node.base, corpus, threshold)
-        excl = compile_node(node.exclude, corpus, threshold)
+        base = compile_node(node.base, corpus, threshold, stats)
+        excl = compile_node(node.exclude, corpus, threshold, stats)
         return base.join(excl.select("doc_id"), "doc_id", "left_anti")
     raise TypeError(f"unknown node {node!r}")
 
@@ -81,7 +83,14 @@ def search(
     threshold: float = DEFAULT_THRESHOLD,
 ) -> DataFrame:
     """Parse + compile + rank: the rebuild of POST /search/dsl
-    (/root/reference/src/refimage/api.py:494-540, fixed semantics)."""
+    (/root/reference/src/refimage/api.py:494-540, fixed semantics).
+
+    ONE corpus-stats DataFrame is shared by every text leaf: the leaves'
+    broadcast subtrees are then plan-identical, so exchange reuse builds
+    the one-row (n_docs, avgdl) aggregate once per query instead of
+    once per leaf."""
+    from refimage_spark.operators.bm25 import corpus_stats
+
     node = dsl.parse(query)
-    scored = compile_node(node, corpus, threshold)
+    scored = compile_node(node, corpus, threshold, stats=corpus_stats(corpus))
     return topk(scored, limit, 0.0)
